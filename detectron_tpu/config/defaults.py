@@ -1,0 +1,136 @@
+"""Default configuration.
+
+Equivalent of the reference's global config module (reference:
+``libs/configs/config.py`` — py-faster-rcnn-style ``cfg`` with nested
+``TRAIN.*`` / ``TEST.*`` namespaces merged from YAML + CLI). We keep the same
+config-driven public API (SURVEY.md §5.6) but use ``ml_collections.ConfigDict``
+with dotted-key overrides.
+
+All shape-determining knobs here are *static*: they become compile-time
+constants of the jitted train / predict steps (SURVEY.md §7 design stance).
+"""
+
+from __future__ import annotations
+
+import ml_collections
+
+
+def base_config() -> ml_collections.ConfigDict:
+    cfg = ml_collections.ConfigDict()
+
+    # ------------------------------------------------------------------ model
+    cfg.model = ml_collections.ConfigDict()
+    cfg.model.name = "faster_rcnn"  # faster_rcnn | mask_rcnn | retinanet
+    cfg.model.backbone = "resnet50"  # resnet50 | resnet101
+    cfg.model.num_classes = 81  # includes background at index 0 (COCO: 80 + 1)
+    cfg.model.fpn_channels = 256
+    cfg.model.frozen_stages = 1  # freeze conv1+res2 like the reference fine-tune
+    cfg.model.norm = "frozen_bn"  # frozen_bn | bn | gn
+    cfg.model.dtype = "float32"  # compute dtype: float32 | bfloat16
+
+    # ---------------------------------------------------------------- anchors
+    cfg.anchors = ml_collections.ConfigDict()
+    # Two-stage (RPN over P2..P6): one scale per level, 3 ratios.
+    cfg.anchors.ratios = (0.5, 1.0, 2.0)
+    cfg.anchors.rpn_scales = (8.0,)  # * stride, per FPN level
+    # RetinaNet (P3..P7): 3 octave scales x 3 ratios = 9 anchors / cell.
+    cfg.anchors.retinanet_scales = (1.0, 1.2599210498948732, 1.5874010519681994)
+    cfg.anchors.retinanet_base_scale = 4.0
+    # Legacy +1 pixel convention of the py-faster-rcnn lineage
+    # (reference: libs/boxes/cython_bbox.pyx uses w = x2 - x1 + 1).
+    cfg.anchors.legacy_plus_one = False
+
+    # -------------------------------------------------------------------- rpn
+    cfg.rpn = ml_collections.ConfigDict()
+    cfg.rpn.pre_nms_topk_train = 2000  # per level
+    cfg.rpn.pre_nms_topk_test = 1000
+    cfg.rpn.post_nms_topk_train = 1000  # across levels
+    cfg.rpn.post_nms_topk_test = 300
+    cfg.rpn.nms_thresh = 0.7
+    cfg.rpn.min_size = 0.0
+    cfg.rpn.positive_iou = 0.7
+    cfg.rpn.negative_iou = 0.3
+    cfg.rpn.batch_per_image = 256
+    cfg.rpn.positive_fraction = 0.5
+    cfg.rpn.smooth_l1_sigma = 3.0
+
+    # -------------------------------------------------------------------- roi
+    cfg.roi = ml_collections.ConfigDict()
+    cfg.roi.batch_per_image = 512
+    cfg.roi.positive_fraction = 0.25
+    cfg.roi.positive_iou = 0.5
+    cfg.roi.negative_iou_hi = 0.5
+    cfg.roi.negative_iou_lo = 0.0
+    cfg.roi.pool_size = 7
+    cfg.roi.mask_pool_size = 14
+    cfg.roi.sampling_ratio = 2
+    cfg.roi.bbox_reg_weights = (10.0, 10.0, 5.0, 5.0)
+    cfg.roi.smooth_l1_sigma = 1.0
+    cfg.roi.class_agnostic_regression = False
+
+    # -------------------------------------------------------------- retinanet
+    cfg.retinanet = ml_collections.ConfigDict()
+    cfg.retinanet.positive_iou = 0.5
+    cfg.retinanet.negative_iou = 0.4
+    cfg.retinanet.focal_alpha = 0.25
+    cfg.retinanet.focal_gamma = 2.0
+    cfg.retinanet.prior_prob = 0.01
+    cfg.retinanet.pre_nms_topk = 1000  # per level
+    cfg.retinanet.score_thresh = 0.05
+    cfg.retinanet.nms_thresh = 0.5
+    cfg.retinanet.smooth_l1_beta = 0.1111111111111111  # = 1/9, Detectron default
+
+    # ------------------------------------------------------------------- mask
+    cfg.mask = ml_collections.ConfigDict()
+    cfg.mask.resolution = 28
+    cfg.mask.paste_threshold = 0.5
+
+    # ------------------------------------------------------------------- test
+    cfg.test = ml_collections.ConfigDict()
+    cfg.test.score_thresh = 0.05
+    cfg.test.nms_thresh = 0.5
+    cfg.test.detections_per_image = 100
+    cfg.test.bbox_reg_stds_applied = True
+
+    # ------------------------------------------------------------------ train
+    cfg.train = ml_collections.ConfigDict()
+    cfg.train.batch_size = 8  # global
+    cfg.train.base_lr = 0.01
+    cfg.train.momentum = 0.9
+    cfg.train.weight_decay = 1e-4
+    cfg.train.warmup_steps = 500
+    cfg.train.warmup_factor = 1.0 / 3.0
+    cfg.train.lr_decay_steps = (60000, 80000)
+    cfg.train.lr_decay_factor = 0.1
+    cfg.train.max_steps = 90000
+    cfg.train.grad_clip_norm = 0.0  # 0 = off
+    cfg.train.checkpoint_every = 5000
+    cfg.train.log_every = 20
+    cfg.train.seed = 0
+    cfg.train.max_gt_boxes = 100  # static padded gt capacity / image
+    cfg.train.loss_scale = 1.0
+
+    # ------------------------------------------------------------------- data
+    cfg.data = ml_collections.ConfigDict()
+    cfg.data.dataset = "coco"  # coco | voc | citypersons | synthetic
+    cfg.data.root = ""
+    cfg.data.train_split = "train2017"
+    cfg.data.val_split = "val2017"
+    cfg.data.short_side = 800
+    cfg.data.max_size = 1333
+    cfg.data.pad_stride = 128  # pad H,W to a multiple (covers P7 stride)
+    cfg.data.hflip_prob = 0.5
+    cfg.data.pixel_mean = (123.675, 116.28, 103.53)
+    cfg.data.pixel_std = (58.395, 57.12, 57.375)
+    cfg.data.num_workers = 8
+    # fixed padded image shape buckets (H, W); static shapes for XLA
+    cfg.data.image_size = (1024, 1024)
+
+    # --------------------------------------------------------------- parallel
+    cfg.parallel = ml_collections.ConfigDict()
+    cfg.parallel.data_axis = "data"
+    cfg.parallel.num_devices = 0  # 0 = all visible
+
+    # ------------------------------------------------------------------- misc
+    cfg.output_dir = "/tmp/detectron_tpu"
+    return cfg

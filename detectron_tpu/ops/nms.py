@@ -1,0 +1,136 @@
+"""Static-shape, on-device non-maximum suppression.
+
+TPU-native replacement for the reference's two NMS kernels
+(reference: libs/nms/cpu_nms.pyx and libs/nms/nms_kernel.cu + gpu_nms.pyx):
+one padded implementation serves both paths. Instead of the CUDA version's
+64-box tiles + host-side bitmask scan, we:
+
+  1. sort candidates by score with ``lax.top_k`` (scores of invalid/padded
+     entries forced to -inf so they sort last),
+  2. compute the dense IoU matrix once (fused VPU work),
+  3. run the greedy suppression recurrence as a ``lax.fori_loop`` whose body
+     is a single vectorized row update — N sequential steps of O(N) vector
+     work, entirely on-chip, no host roundtrip,
+  4. emit a fixed number ``max_out`` of kept indices plus a validity mask.
+
+Greedy NMS semantics match the reference exactly (same keep set on ties
+broken by score order). A Pallas kernel with identical semantics lives in
+``detectron_tpu.ops.nms_pallas`` for the hot path; this module is the
+canonical jnp implementation and the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detectron_tpu.ops import boxes as box_ops
+
+NEG_INF = -1e10
+
+
+def _greedy_keep(iou: jnp.ndarray, valid: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    """Greedy suppression over score-sorted candidates.
+
+    iou: [N, N] IoU of sorted boxes; valid: [N] bool. Returns keep mask [N].
+    """
+    n = iou.shape[0]
+    idx = jnp.arange(n)
+
+    def body(i, keep):
+        alive = keep[i] & valid[i]
+        suppress = alive & (iou[i] > thresh) & (idx > i)
+        return keep & ~suppress
+
+    keep = jax.lax.fori_loop(0, n, body, jnp.ones((n,), dtype=bool))
+    return keep & valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "offset"))
+def nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    valid: jnp.ndarray | None = None,
+    offset: float = 0.0,
+):
+    """Greedy NMS with static output shape.
+
+    Args:
+      boxes: [N, 4]; scores: [N]; valid: optional [N] bool mask of real
+        (non-padding) entries.
+      max_out: number of outputs (padded with invalid entries if fewer kept).
+
+    Returns:
+      (indices [max_out] int32 into the input arrays, keep_valid [max_out]
+      bool). Indices of invalid slots are 0.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order_scores, order = jax.lax.top_k(masked_scores, n)
+    sboxes = boxes[order]
+    svalid = order_scores > NEG_INF / 2
+    iou = box_ops.bbox_overlaps(sboxes, sboxes, offset=offset)
+    keep = _greedy_keep(iou, svalid, iou_threshold)
+    kept_scores = jnp.where(keep, order_scores, NEG_INF)
+    top_scores, top_pos = jax.lax.top_k(kept_scores, min(max_out, n))
+    out_valid = top_scores > NEG_INF / 2
+    out_idx = jnp.where(out_valid, order[top_pos], 0)
+    if max_out > n:  # pad up
+        pad = max_out - n
+        out_idx = jnp.concatenate([out_idx, jnp.zeros((pad,), out_idx.dtype)])
+        out_valid = jnp.concatenate([out_valid, jnp.zeros((pad,), bool)])
+    return out_idx.astype(jnp.int32), out_valid
+
+
+def class_aware_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    valid: jnp.ndarray | None = None,
+    offset: float = 0.0,
+):
+    """Per-class NMS in one fused pass via the class-offset trick.
+
+    Replaces the reference's host-side ``for c in classes: nms(...)`` loop
+    (reference: libs/nets/model.py::get_final_results): each box is shifted by
+    ``class_id * D`` where D exceeds any coordinate, so boxes of different
+    classes never overlap and a single greedy pass equals per-class NMS
+    (SURVEY.md §7 hard part 4).
+    """
+    span = jnp.max(boxes) - jnp.min(boxes) + 1.0
+    shift = (classes.astype(boxes.dtype) * span)[:, None]
+    return nms_padded(
+        boxes + shift, scores, iou_threshold, max_out, valid=valid, offset=offset
+    )
+
+
+def nms_numpy(dets: np.ndarray, thresh: float, offset: float = 0.0) -> list[int]:
+    """Host greedy NMS, the reference's exact algorithm (reference:
+    libs/nms/cpu_nms.pyx). Used as the golden oracle in tests and as the
+    CPU path of zoo config 1."""
+    x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
+    areas = (x2 - x1 + offset) * (y2 - y1 + offset)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + offset)
+        h = np.maximum(0.0, yy2 - yy1 + offset)
+        inter = w * h
+        iou = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][iou <= thresh]
+    return keep
