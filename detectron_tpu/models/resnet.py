@@ -1,0 +1,141 @@
+"""ResNet-50/101 backbone in Flax (NHWC), torchvision-compatible layout.
+
+Equivalent of the reference backbone (reference: libs/nets/resnet.py —
+torchvision-style Bottleneck blocks with frozen BatchNorm and frozen
+conv1+res2 during fine-tune, SURVEY.md §2.2).
+
+TPU-first choices:
+  * NHWC layout (XLA's native conv layout on TPU MXU);
+  * BatchNorm is always *frozen*: a pure affine transform folded from
+    pretrained statistics — no batch stats, no cross-replica sync, fully
+    fusable into the preceding conv by XLA. Its params live in ``params``
+    but are excluded from optimization by the trainable-mask in
+    ``detectron_tpu.train.state`` (matching the reference's frozen-BN
+    fine-tune semantics);
+  * stage freezing is expressed with ``jax.lax.stop_gradient`` on the stage
+    boundary (plus the optimizer mask), so XLA prunes the dead backward ops;
+  * compute dtype configurable (bfloat16 inference path).
+
+Module names mirror torchvision (``conv1``, ``bn1``, ``layer1..4``,
+``layerN.<i>.conv1..3 / bn1..3 / downsample``) so the weight converter in
+``detectron_tpu.utils.torch_weights`` is a pure name map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm frozen at (pretrained) statistics: y = (x - mean)/sqrt(var+eps)*w + b."""
+
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        scale = w * jax.lax.rsqrt(var + self.eps)
+        bias = b - mean * scale
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+def conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+    pad = (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        use_bias=False,
+        name=name,
+        dtype=dtype,
+        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+    )
+
+
+class Bottleneck(nn.Module):
+    """torchvision v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1, expansion 4."""
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = conv(self.features, 1, 1, "conv1", self.dtype)(x)
+        out = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.features, 3, self.stride, "conv2", self.dtype)(out)
+        out = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.features * 4, 1, 1, "conv3", self.dtype)(out)
+        out = FrozenBatchNorm(self.features * 4, dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            residual = conv(
+                self.features * 4, 1, self.stride, "downsample_conv", self.dtype
+            )(x)
+            residual = FrozenBatchNorm(
+                self.features * 4, dtype=self.dtype, name="downsample_bn"
+            )(residual)
+        return nn.relu(out + residual)
+
+
+class ResNet(nn.Module):
+    """Returns feature maps {"c2", "c3", "c4", "c5"} (strides 4/8/16/32)."""
+
+    depth: str = "resnet50"
+    frozen_stages: int = 1  # 1 = freeze conv1 + res2 like the reference
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        blocks = STAGE_BLOCKS[self.depth]
+        x = conv(64, 7, 2, "conv1", self.dtype)(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        feats = {}
+        features = 64
+        for stage, num_blocks in enumerate(blocks):
+            stride = 1 if stage == 0 else 2
+            for i in range(num_blocks):
+                x = Bottleneck(
+                    features,
+                    stride=stride if i == 0 else 1,
+                    downsample=(i == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{i}",
+                )(x)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
+            feats[f"c{stage + 2}"] = x
+            features *= 2
+        return feats
+
+
+def resnet_param_is_frozen(path: Sequence[str], frozen_stages: int = 1) -> bool:
+    """Trainable-mask helper: True for params the reference keeps frozen —
+    all FrozenBatchNorm params, conv1/bn1, and stages <= frozen_stages."""
+    flat = "/".join(str(p) for p in path)
+    if "bn" in flat or "downsample_bn" in flat:
+        return True
+    if "conv1" in flat and "layer" not in flat:
+        return True
+    for stage in range(1, frozen_stages + 1):
+        if f"layer{stage}_" in flat:
+            return True
+    return False

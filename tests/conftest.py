@@ -1,15 +1,14 @@
 """Test harness config: force an 8-device virtual CPU mesh.
 
-Multi-chip TPU hardware is unavailable in CI; all sharding tests run on
-``xla_force_host_platform_device_count=8`` CPU devices (SURVEY.md §4).
-Must run before the first jax import.
+Multi-chip TPU hardware is unavailable in CI; all tests (incl. sharding
+tests) run on 8 virtual CPU devices (SURVEY.md §4). Note: env vars are NOT
+sufficient here — a sitecustomize module registers a remote TPU PJRT plugin
+at interpreter startup and pins JAX_PLATFORMS, so we must override through
+jax.config before the backend initializes. Running tests against the remote
+chip would be ~100x slower (per-dispatch network roundtrips).
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,155 @@
+"""Backbone / FPN / RetinaNet model tests (small shapes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detectron_tpu.config import get_config
+from detectron_tpu.models import fpn as fpn_mod
+from detectron_tpu.models import retinanet as retina
+from detectron_tpu.models.resnet import ResNet, resnet_param_is_frozen
+
+
+@pytest.fixture(scope="module")
+def resnet_feats():
+    model = ResNet(depth="resnet50")
+    x = jnp.ones((1, 128, 128, 3))
+    params = model.init(jax.random.key(0), x)
+    feats = model.apply(params, x)
+    return model, params, feats
+
+
+def test_resnet_strides_and_channels(resnet_feats):
+    _, _, feats = resnet_feats
+    assert feats["c2"].shape == (1, 32, 32, 256)
+    assert feats["c3"].shape == (1, 16, 16, 512)
+    assert feats["c4"].shape == (1, 8, 8, 1024)
+    assert feats["c5"].shape == (1, 4, 4, 2048)
+
+
+def test_resnet101_block_count():
+    model = ResNet(depth="resnet101")
+    params = model.init(jax.random.key(0), jnp.ones((1, 64, 64, 3)))
+    layer3_blocks = [k for k in params["params"] if k.startswith("layer3_")]
+    assert len(layer3_blocks) == 23
+
+
+def test_frozen_param_mask():
+    assert resnet_param_is_frozen(("backbone", "bn1", "weight"))
+    assert resnet_param_is_frozen(("backbone", "conv1", "kernel"))
+    assert resnet_param_is_frozen(("backbone", "layer1_0", "conv2", "kernel"))
+    assert not resnet_param_is_frozen(("backbone", "layer2_0", "conv2", "kernel"))
+    assert resnet_param_is_frozen(("backbone", "layer3_1", "bn2", "weight"))
+
+
+def test_fpn_upsample_nearest():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    up = fpn_mod.upsample2x_nearest(x)
+    want = np.array([[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]])
+    np.testing.assert_allclose(np.asarray(up[0, :, :, 0]), want)
+
+
+@pytest.mark.parametrize("levels,count", [("p2p6", 5), ("p3p7", 5)])
+def test_fpn_levels(resnet_feats, levels, count):
+    _, _, feats = resnet_feats
+    neck = fpn_mod.FPN(channels=64, levels=levels)
+    params = neck.init(jax.random.key(0), feats)
+    ps = neck.apply(params, feats)
+    assert len(ps) == count
+    if levels == "p2p6":
+        assert ps[0].shape == (1, 32, 32, 64)  # P2 stride 4
+        assert ps[-1].shape == (1, 2, 2, 64)  # P6 stride 64
+    else:
+        assert ps[0].shape == (1, 16, 16, 64)  # P3 stride 8
+        assert ps[-1].shape == (1, 1, 1, 64)  # P7 stride 128
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    cfg = get_config()
+    cfg.model.num_classes = 5  # 4 fg + bg
+    cfg.data.image_size = (128, 128)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def retinanet_setup(tiny_cfg):
+    cfg = tiny_cfg
+    model = retina.RetinaNet(num_classes=4, backbone="resnet50", channels=32)
+    x = jnp.ones((1, 128, 128, 3))
+    params = model.init(jax.random.key(0), x)
+    return cfg, model, params
+
+
+def test_retinanet_output_shapes(retinanet_setup):
+    cfg, model, params = retinanet_setup
+    outs = model.apply(params, jnp.ones((1, 128, 128, 3)))
+    assert len(outs) == 5  # P3..P7
+    cls3, box3 = outs[0]
+    assert cls3.shape == (1, 16, 16, 9 * 4)
+    assert box3.shape == (1, 16, 16, 9 * 4)  # 9 anchors * 4 coords
+
+
+def test_retinanet_loss_finite_and_grads(retinanet_setup):
+    cfg, model, params = retinanet_setup
+    gen = retina.retinanet_anchor_generator(cfg)
+    anchors = gen.all_anchors((128, 128))
+    gt_boxes = jnp.zeros((1, 8, 4)).at[0, 0].set(jnp.array([20.0, 20.0, 90.0, 90.0]))
+    gt_classes = jnp.zeros((1, 8), jnp.int32).at[0, 0].set(2)
+
+    def loss_fn(p):
+        outs = model.apply(p, jnp.ones((1, 128, 128, 3)))
+        ld = retina.retinanet_loss(
+            outs, anchors, gt_boxes, gt_classes, jax.random.key(0), cfg
+        )
+        return ld["loss_cls"] + ld["loss_box"], ld
+
+    (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    assert float(ld["loss_cls"]) > 0
+    gnorm = jax.tree.reduce(
+        lambda a, g: a + float(jnp.sum(jnp.abs(g))), grads, 0.0
+    )
+    assert gnorm > 0
+
+
+def test_retinanet_inference_recovers_planted_box(retinanet_setup):
+    """Plant a high logit at a known anchor; inference must return its box."""
+    cfg, model, params = retinanet_setup
+    gen = retina.retinanet_anchor_generator(cfg)
+    anchors_pl = gen.grid_anchors((128, 128))
+    outs = model.apply(params, jnp.ones((1, 128, 128, 3)))
+    # zero all logits to large negative, then plant one strong hit at level 0
+    planted = []
+    k = 4
+    target_flat = 5 * 9 + 3  # anchor index within level 0
+    target_cls = 2  # 0-based channel -> class id 3
+    for li, (cls_l, box_l) in enumerate(outs):
+        cls_new = jnp.full_like(cls_l, -20.0)
+        box_new = jnp.zeros_like(box_l)
+        if li == 0:
+            flat = cls_new.reshape(1, -1, k)
+            flat = flat.at[0, target_flat, target_cls].set(8.0)
+            cls_new = flat.reshape(cls_l.shape)
+        planted.append((cls_new, box_new))
+    hw = jnp.array([[128.0, 128.0]])
+    dets = retina.retinanet_inference(planted, anchors_pl, hw, cfg)
+    valid = np.asarray(dets.valid[0])
+    assert valid.sum() == 1
+    i = int(np.argmax(valid))
+    assert int(dets.classes[0, i]) == 3
+    want = np.asarray(anchors_pl[0][target_flat])
+    want_clip = np.clip(want, 0, 128)
+    np.testing.assert_allclose(np.asarray(dets.boxes[0, i]), want_clip, atol=1e-3)
+    assert float(dets.scores[0, i]) > 0.99
+
+
+def test_retinanet_inference_empty_when_no_confident(retinanet_setup):
+    cfg, model, params = retinanet_setup
+    gen = retina.retinanet_anchor_generator(cfg)
+    anchors_pl = gen.grid_anchors((128, 128))
+    outs = model.apply(params, jnp.ones((1, 128, 128, 3)))
+    quiet = [(jnp.full_like(c, -20.0), jnp.zeros_like(b)) for c, b in outs]
+    dets = retina.retinanet_inference(quiet, anchors_pl, jnp.array([[128.0, 128.0]]), cfg)
+    assert int(np.asarray(dets.valid).sum()) == 0

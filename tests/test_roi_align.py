@@ -1,0 +1,144 @@
+"""RoIAlign vs a scalar Caffe2-semantics oracle + gradient tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from detectron_tpu.ops import roi_align as ra
+
+
+def roi_align_oracle(feat, rois, stride, P, S, aligned=False):
+    """Scalar NumPy RoIAlign, Caffe2/Detectron semantics (the algorithm of
+    reference: libs/roi_align/src/roi_align_kernel.cu forward)."""
+    H, W, C = feat.shape
+    out = np.zeros((len(rois), P, P, C), np.float32)
+    scale = 1.0 / stride
+    shift = 0.5 if aligned else 0.0
+    for r, roi in enumerate(rois):
+        x1 = roi[0] * scale - shift
+        y1 = roi[1] * scale - shift
+        rw = roi[2] * scale - shift - x1
+        rh = roi[3] * scale - shift - y1
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
+        bw, bh = rw / P, rh / P
+        for py in range(P):
+            for px in range(P):
+                acc = np.zeros(C, np.float32)
+                for iy in range(S):
+                    for ix in range(S):
+                        y = y1 + (py + (iy + 0.5) / S) * bh
+                        x = x1 + (px + (ix + 0.5) / S) * bw
+                        if y < -1.0 or y > H or x < -1.0 or x > W:
+                            continue
+                        y = min(max(y, 0.0), H - 1)
+                        x = min(max(x, 0.0), W - 1)
+                        y0, x0 = int(np.floor(y)), int(np.floor(x))
+                        y0 = min(y0, H - 1)
+                        x0 = min(x0, W - 1)
+                        y1i, x1i = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+                        ly, lx = y - y0, x - x0
+                        acc += (
+                            feat[y0, x0] * (1 - ly) * (1 - lx)
+                            + feat[y0, x1i] * (1 - ly) * lx
+                            + feat[y1i, x0] * ly * (1 - lx)
+                            + feat[y1i, x1i] * ly * lx
+                        )
+                out[r, py, px] = acc / (S * S)
+    return out
+
+
+@pytest.mark.parametrize("aligned", [False, True])
+def test_single_level_matches_oracle(aligned):
+    rng = np.random.RandomState(0)
+    feat = rng.randn(1, 24, 32, 8).astype(np.float32)
+    rois = np.array(
+        [
+            [10.0, 12.0, 100.0, 90.0],
+            [0.0, 0.0, 255.0, 191.0],
+            [50.0, 40.0, 60.0, 52.0],
+            [-10.0, -10.0, 30.0, 30.0],  # partially outside
+        ],
+        np.float32,
+    )
+    got = ra.roi_align(
+        jnp.asarray(feat), jnp.asarray(rois)[None], stride=8, output_size=7,
+        sampling_ratio=2, aligned=aligned,
+    )
+    want = roi_align_oracle(feat[0], rois, 8, 7, 2, aligned=aligned)
+    np.testing.assert_allclose(np.asarray(got[0]), want, atol=1e-4)
+
+
+def test_level_assignment():
+    # area 224^2 at canonical level 4 -> P4; small boxes -> finest level
+    rois = jnp.array(
+        [
+            [0.0, 0.0, 224.0, 224.0],
+            [0.0, 0.0, 20.0, 20.0],
+            [0.0, 0.0, 1000.0, 1000.0],
+        ]
+    )
+    lvl = ra.assign_fpn_levels(rois, num_levels=4, min_level=2)
+    assert list(np.asarray(lvl)) == [2, 0, 3]
+
+
+def test_multilevel_routes_to_correct_level():
+    rng = np.random.RandomState(1)
+    B, C = 1, 4
+    feats = [jnp.asarray(rng.randn(B, 64 // (2**i), 64 // (2**i), C), jnp.float32)
+             for i in range(4)]
+    strides = [4, 8, 16, 32]
+    # big RoI -> level 3 (stride 32); compare vs single-level oracle there
+    rois = np.array([[0.0, 0.0, 512.0, 512.0]], np.float32)
+    got = ra.multilevel_roi_align(feats, jnp.asarray(rois)[None], strides)
+    want = roi_align_oracle(np.asarray(feats[3][0]), rois, 32, 7, 2)
+    np.testing.assert_allclose(np.asarray(got[0]), want, atol=1e-4)
+    # small RoI -> level 0 (stride 4)
+    rois2 = np.array([[8.0, 8.0, 40.0, 40.0]], np.float32)
+    got2 = ra.multilevel_roi_align(feats, jnp.asarray(rois2)[None], strides)
+    want2 = roi_align_oracle(np.asarray(feats[0][0]), rois2, 4, 7, 2)
+    np.testing.assert_allclose(np.asarray(got2[0]), want2, atol=1e-4)
+
+
+def test_roi_align_gradients_flow():
+    rng = np.random.RandomState(2)
+    feat = jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32)
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 40.0], [0.0, 0.0, 60.0, 60.0]]])
+
+    def loss(f):
+        out = ra.roi_align(f, rois, stride=4, output_size=7)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(feat)
+    assert g.shape == feat.shape
+    assert float(jnp.sum(jnp.abs(g))) > 0
+    # numerical check on a single coordinate
+    eps = 1e-2
+    e = jnp.zeros_like(feat).at[0, 5, 5, 1].set(eps)
+    num = (loss(feat + e) - loss(feat - e)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 5, 5, 1]), float(num), rtol=2e-2, atol=1e-3)
+
+
+def test_roi_pool_max_semantics():
+    # constant feature -> roi_pool returns the constant
+    feat = jnp.full((1, 16, 16, 2), 3.0)
+    rois = jnp.asarray([[[0.0, 0.0, 63.0, 63.0]]])
+    out = ra.roi_pool(feat, rois, stride=4, output_size=7)
+    np.testing.assert_allclose(np.asarray(out), 3.0)
+    # single hot pixel inside the RoI shows up in exactly one bin as max
+    feat2 = jnp.zeros((1, 16, 16, 1)).at[0, 8, 8, 0].set(9.0)
+    out2 = ra.roi_pool(feat2, jnp.asarray([[[28.0, 28.0, 36.0, 36.0]]]), 4, 2)
+    assert float(jnp.max(out2)) == 9.0
+
+
+def test_jit_and_batch():
+    rng = np.random.RandomState(3)
+    feats = [jnp.asarray(rng.randn(2, 32, 32, 4), jnp.float32),
+             jnp.asarray(rng.randn(2, 16, 16, 4), jnp.float32)]
+    rois = jnp.asarray(rng.uniform(0, 100, (2, 8, 4)), jnp.float32)
+    rois = rois.at[..., 2:].set(rois[..., :2] + 30.0)
+    fn = jax.jit(lambda f0, f1, r: ra.multilevel_roi_align([f0, f1], r, [4, 8]))
+    out = fn(feats[0], feats[1], rois)
+    assert out.shape == (2, 8, 7, 7, 4)
+    assert bool(jnp.all(jnp.isfinite(out)))
