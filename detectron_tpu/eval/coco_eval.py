@@ -1,0 +1,219 @@
+"""COCO-style detection/instance-segmentation evaluation, self-contained.
+
+Equivalent of the reference's pycocotools COCOeval usage (reference: eval
+methods in libs/datasets/coco.py + test.py; SURVEY.md §2.2 "Evaluation").
+pycocotools is not available in this image, so the COCO protocol is
+implemented here in NumPy:
+
+  * IoU thresholds .50:.05:.95, 101-point interpolated AP,
+  * greedy score-ordered matching, highest-IoU unmatched gt first,
+  * crowd/ignore gts may absorb detections without counting as TP/FP,
+  * area ranges (all/small/medium/large), maxDets caps,
+  * bbox IoU or mask IoU (binary masks) per ``iou_type``.
+
+Verified against hand-computed PR curves in tests/test_eval.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+
+
+def box_iou_matrix(a: np.ndarray, b: np.ndarray, crowd: np.ndarray | None = None):
+    """IoU [len(a), len(b)]; for crowd gt columns, IoU = intersection/area_det
+    (the COCO rule)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float64)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    if crowd is not None and crowd.any():
+        union = np.where(crowd[None, :], np.maximum(area_a[:, None], 1e-9), union)
+    return inter / np.maximum(union, 1e-9)
+
+
+def mask_iou_matrix(a: list, b: list, crowd: np.ndarray | None = None):
+    """IoU between two lists of binary masks (bool [H,W])."""
+    out = np.zeros((len(a), len(b)), np.float64)
+    for i, ma in enumerate(a):
+        sa = ma.sum()
+        for j, mb in enumerate(b):
+            inter = np.logical_and(ma, mb).sum()
+            if crowd is not None and crowd[j]:
+                denom = max(sa, 1e-9)
+            else:
+                denom = sa + mb.sum() - inter
+            out[i, j] = inter / max(denom, 1e-9)
+    return out
+
+
+def _match_image(det_scores, ious, gt_ignore, iou_thresholds, max_dets):
+    """Greedy COCO matching for one (image, class) — the pycocotools
+    ``evaluateImg`` algorithm: detections in score order greedily take the
+    highest-IoU available gt; gts are visited real-first then ignore;
+    matching an ignore gt marks the detection ignored.
+
+    Returns (matched [T, D], ignored [T, D], det order used, n_valid_gt).
+    """
+    gt_ignore = np.asarray(gt_ignore, bool)
+    d = min(len(det_scores), max_dets)
+    order = np.argsort(-det_scores, kind="stable")[:d]
+    g_order = np.argsort(gt_ignore, kind="stable")  # real gts first
+    t = len(iou_thresholds)
+    g = ious.shape[1]
+    matched = np.zeros((t, d), bool)
+    ignored = np.zeros((t, d), bool)
+    gt_used = np.zeros((t, g), bool)
+    for ti, thr in enumerate(iou_thresholds):
+        for di, dd in enumerate(order):
+            best = min(thr, 1.0 - 1e-10)
+            m = -1
+            for gi in g_order:
+                if gt_used[ti, gi] and not gt_ignore[gi]:
+                    continue
+                if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
+                    break  # already matched a real gt; ignores can't improve
+                if ious[dd, gi] < best:
+                    continue
+                best = ious[dd, gi]
+                m = gi
+            if m == -1:
+                continue
+            if gt_ignore[m]:
+                ignored[ti, di] = True
+            else:
+                matched[ti, di] = True
+                gt_used[ti, m] = True
+    n_valid = int((~gt_ignore).sum())
+    return matched, ignored, order, n_valid
+
+
+def _accumulate(per_image, iou_thresholds):
+    """per_image: list of (scores_sorted, matched [T,D], ignored [T,D], n_gt).
+    Returns AP [T] and AR [T]."""
+    total_gt = sum(p[3] for p in per_image)
+    t = len(iou_thresholds)
+    if total_gt == 0:
+        return np.full(t, np.nan), np.full(t, np.nan)
+    scores = np.concatenate([p[0] for p in per_image]) if per_image else np.zeros(0)
+    order = np.argsort(-scores)
+    ap = np.zeros(t)
+    ar = np.zeros(t)
+    for ti in range(t):
+        m = np.concatenate([p[1][ti] for p in per_image])[order]
+        ig = np.concatenate([p[2][ti] for p in per_image])[order]
+        keep = ~ig
+        tp = np.cumsum(m[keep])
+        fp = np.cumsum(~m[keep])
+        recall = tp / total_gt
+        precision = tp / np.maximum(tp + fp, 1e-9)
+        # monotone non-increasing precision envelope
+        for i in range(len(precision) - 2, -1, -1):
+            precision[i] = max(precision[i], precision[i + 1])
+        # 101-point interpolation
+        p_at = np.zeros_like(RECALL_POINTS)
+        if len(precision):
+            idx = np.searchsorted(recall, RECALL_POINTS, side="left")
+            ok = idx < len(precision)
+            p_at[ok] = precision[idx[ok]]
+        ap[ti] = p_at.mean()
+        ar[ti] = recall[-1] if len(recall) else 0.0
+    return ap, ar
+
+
+def evaluate(
+    groundtruths: list,
+    detections: list,
+    num_classes: int,
+    iou_type: str = "bbox",
+    max_dets: int = 100,
+    area_ranges: dict | None = None,
+) -> dict:
+    """Full COCO-protocol evaluation.
+
+    groundtruths: per image {boxes [G,4], classes [G], ignore [G] bool,
+      (masks: list of bool [H,W])}.
+    detections: per image {boxes [D,4], scores [D], classes [D],
+      (masks: list of bool [H,W])}.
+    Classes are 1-based contiguous.
+
+    Returns {"AP", "AP50", "AP75", "APs", "APm", "APl", "AR", "per_class"}.
+    """
+    area_ranges = area_ranges or AREA_RANGES
+    results = {}
+    per_class_ap = {}
+    for range_name, (lo, hi) in area_ranges.items():
+        ap_per_class = []
+        ar_per_class = []
+        for cls in range(1, num_classes):
+            per_image = []
+            for gt, det in zip(groundtruths, detections):
+                g_sel = np.where(gt["classes"] == cls)[0]
+                d_sel = np.where(det["classes"] == cls)[0]
+                if len(g_sel) == 0 and len(d_sel) == 0:
+                    continue
+                g_boxes = gt["boxes"][g_sel]
+                areas = (g_boxes[:, 2] - g_boxes[:, 0]) * (
+                    g_boxes[:, 3] - g_boxes[:, 1]
+                )
+                base_ignore = gt.get("ignore")
+                base_ignore = (
+                    base_ignore[g_sel] if base_ignore is not None
+                    else np.zeros(len(g_sel), bool)
+                )
+                ignore = base_ignore | (areas < lo) | (areas > hi)
+                d_boxes = det["boxes"][d_sel]
+                d_scores = det["scores"][d_sel]
+                if iou_type == "segm":
+                    ious = mask_iou_matrix(
+                        [det["masks"][i] for i in d_sel],
+                        [gt["masks"][i] for i in g_sel],
+                        crowd=base_ignore,
+                    )
+                else:
+                    ious = box_iou_matrix(d_boxes, g_boxes, crowd=base_ignore)
+                matched, ignored, order, n_gt = _match_image(
+                    d_scores, ious, ignore, IOU_THRESHOLDS, max_dets
+                )
+                # out-of-range unmatched detections are ignored (COCO rule)
+                d_areas = (d_boxes[order, 2] - d_boxes[order, 0]) * (
+                    d_boxes[order, 3] - d_boxes[order, 1]
+                )
+                oob = (d_areas < lo) | (d_areas > hi)
+                ignored = ignored | (~matched & oob[None, :])
+                per_image.append((d_scores[order], matched, ignored, n_gt))
+            ap, ar = _accumulate(per_image, IOU_THRESHOLDS)
+            if not np.isnan(ap).all():
+                ap_per_class.append(ap)
+                ar_per_class.append(ar)
+                if range_name == "all":
+                    per_class_ap[cls] = float(np.nanmean(ap))
+        if ap_per_class:
+            aps = np.stack(ap_per_class)
+            ars = np.stack(ar_per_class)
+        else:
+            aps = np.full((1, len(IOU_THRESHOLDS)), np.nan)
+            ars = aps
+        if range_name == "all":
+            results["AP"] = float(np.nanmean(aps))
+            results["AP50"] = float(np.nanmean(aps[:, 0]))
+            results["AP75"] = float(np.nanmean(aps[:, 5]))
+            results["AR"] = float(np.nanmean(ars))
+            results["per_class"] = per_class_ap
+        else:
+            key = {"small": "APs", "medium": "APm", "large": "APl"}[range_name]
+            results[key] = float(np.nanmean(aps))
+    return results

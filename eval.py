@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Evaluation driver.
+
+Equivalent of the reference's ``test.py`` (reference: test.py; SURVEY.md
+§3.2): load snapshot -> batched jitted inference over the val split ->
+map detections back to original image coords -> COCO/VOC metrics (own
+evaluators; pycocotools is unavailable in this image).
+
+Usage:
+  python eval.py --config configs/faster_rcnn_r50_fpn_coco.yaml \
+      --cfg data.root=/data/coco [--limit 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--cfg", nargs="*", default=[])
+    ap.add_argument("--limit", type=int, default=0, help="eval first N images")
+    ap.add_argument("--no-restore", action="store_true",
+                    help="evaluate randomly initialized weights (smoke)")
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from detectron_tpu.config import get_config
+    from detectron_tpu.data.loader import Loader, get_dataset
+    from detectron_tpu.eval import evaluate_coco, evaluate_voc
+    from detectron_tpu.models.mask_rcnn import paste_masks_numpy
+    from detectron_tpu.models.zoo import build_detector
+    from detectron_tpu.parallel import make_mesh, make_predict_step, shard_batch
+    from detectron_tpu.train import checkpoint as ckpt
+    from detectron_tpu.train.state import create_train_state
+
+    cfg = get_config(args.config, args.cfg)
+    det = build_detector(cfg)
+    params = det.init(jax.random.key(0))
+    if not args.no_restore:
+        state, _, _ = create_train_state(cfg, params)
+        mgr = ckpt.make_manager(cfg.output_dir)
+        state = ckpt.restore(mgr, state)
+        params = state.params
+        print(f"restored step {int(state.step)} from {cfg.output_dir}")
+
+    mesh = make_mesh(cfg.parallel.num_devices)
+    predict = make_predict_step(det, mesh)
+
+    ds = get_dataset(cfg, cfg.data.val_split, train=False)
+    loader = Loader(ds, cfg, train=False)
+    gts, dts = [], []
+    seen = 0
+    limit = args.limit or len(ds)
+    for batch in loader:
+        ids = batch.pop("_image_id")
+        orig_hw = batch.pop("_orig_hw")
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if not k.startswith("gt_") or True}
+        dets, masks = predict(params, shard_batch(jbatch, mesh))
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        classes = np.asarray(dets.classes)
+        valid = np.asarray(dets.valid)
+        masks_np = np.asarray(masks) if masks is not None else None
+        for i in range(len(ids)):
+            if seen >= limit:
+                break
+            # map from resized coords back to original image coords
+            scale = batch["image_hw"][i][0] / orig_hw[i][0]
+            v = valid[i]
+            b = boxes[i] / max(scale, 1e-9)
+            d = {
+                "boxes": b[v],
+                "scores": scores[i][v],
+                "classes": classes[i][v],
+                "image_id": ids[i],
+            }
+            if masks_np is not None:
+                full = paste_masks_numpy(
+                    masks_np[i][v], b[v], np.ones(v.sum(), bool),
+                    tuple(int(x) for x in orig_hw[i]),
+                    threshold=cfg.mask.paste_threshold,
+                )
+                d["masks"] = [m.astype(bool) for m in full]
+            dts.append(d)
+            ex = ds.example(seen)
+            gts.append({
+                "boxes": ex["boxes"],
+                "classes": ex["classes"],
+                "ignore": None,
+                "difficult": ex.get("difficult"),
+            })
+            seen += 1
+        if seen >= limit:
+            break
+
+    if cfg.data.dataset == "voc":
+        res = evaluate_voc(gts, dts, ds.num_classes)
+    else:
+        res = evaluate_coco(gts, dts, cfg.model.num_classes)
+        if dts and "masks" in dts[0]:
+            # segm eval requires gt masks; bbox-only here unless provided
+            pass
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    out_path = os.path.join(cfg.output_dir, "eval_results.json")
+    with open(out_path, "w") as f:
+        json.dump({k: v for k, v in res.items() if k != "per_class"}, f, indent=2)
+    print(json.dumps({k: round(v, 4) for k, v in res.items()
+                      if isinstance(v, float)}, indent=2))
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

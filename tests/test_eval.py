@@ -1,0 +1,130 @@
+"""Evaluator tests with hand-computed expectations (SURVEY.md §4)."""
+
+import numpy as np
+
+from detectron_tpu.eval.coco_eval import box_iou_matrix, evaluate, mask_iou_matrix
+from detectron_tpu.eval.voc_eval import evaluate_voc, voc_ap
+
+
+def gt(boxes, classes, ignore=None, masks=None):
+    return {
+        "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+        "classes": np.asarray(classes, np.int32),
+        "ignore": np.asarray(ignore, bool) if ignore is not None else None,
+        "masks": masks,
+    }
+
+
+def det(boxes, scores, classes, masks=None):
+    return {
+        "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+        "scores": np.asarray(scores, np.float32),
+        "classes": np.asarray(classes, np.int32),
+        "masks": masks,
+    }
+
+
+def test_perfect_detections_ap_one():
+    g = [gt([[0, 0, 10, 10], [20, 20, 40, 40]], [1, 2])]
+    d = [det([[0, 0, 10, 10], [20, 20, 40, 40]], [0.9, 0.8], [1, 2])]
+    r = evaluate(g, d, num_classes=3)
+    assert abs(r["AP"] - 1.0) < 1e-6
+    assert abs(r["AP50"] - 1.0) < 1e-6
+
+
+def test_missed_gt_halves_recall():
+    # 2 gts of one class, only 1 detected perfectly -> AP ~ 0.5
+    g = [gt([[0, 0, 10, 10], [20, 20, 30, 30]], [1, 1])]
+    d = [det([[0, 0, 10, 10]], [0.9], [1])]
+    r = evaluate(g, d, num_classes=2)
+    # precision 1 up to recall 0.5, then 0 -> 101-pt AP ≈ 51/101
+    assert abs(r["AP"] - 51 / 101) < 0.01
+
+
+def test_false_positive_lowers_precision():
+    g = [gt([[0, 0, 10, 10]], [1])]
+    d = [det([[0, 0, 10, 10], [50, 50, 60, 60]], [0.9, 0.95], [1, 1])]
+    # higher-scored FP first: precision at recall>0 is 1/2
+    r = evaluate(g, d, num_classes=2)
+    assert abs(r["AP50"] - 0.5) < 0.01
+
+
+def test_localization_quality_affects_high_iou_thresholds():
+    # det overlaps gt with IoU ~0.6: counts at .5/.55/.6 but not above
+    g = [gt([[0, 0, 10, 10]], [1])]
+    d = [det([[0, 0, 10, 6.0]], [0.9], [1])]
+    iou = box_iou_matrix(d[0]["boxes"], g[0]["boxes"])[0, 0]
+    assert 0.55 < iou < 0.65
+    r = evaluate(g, d, num_classes=2)
+    assert abs(r["AP50"] - 1.0) < 1e-6
+    assert r["AP75"] == 0.0
+    n_pass = int(np.floor((iou - 0.5) / 0.05)) + 1
+    assert abs(r["AP"] - n_pass / 10) < 0.01
+
+
+def test_crowd_ignore_absorbs_detection():
+    # a det on an ignore gt is neither TP nor FP
+    g = [gt([[0, 0, 10, 10], [20, 20, 30, 30]], [1, 1], ignore=[True, False])]
+    d = [det([[0, 0, 10, 10], [20, 20, 30, 30]], [0.9, 0.8], [1, 1])]
+    r = evaluate(g, d, num_classes=2)
+    assert abs(r["AP"] - 1.0) < 1e-6
+
+
+def test_area_range_buckets():
+    # small gt (16 area) and large gt (200^2)
+    g = [gt([[0, 0, 4, 4], [100, 100, 300, 300]], [1, 1])]
+    d = [det([[0, 0, 4, 4], [100, 100, 300, 300]], [0.9, 0.8], [1, 1])]
+    r = evaluate(g, d, num_classes=2)
+    assert abs(r["APs"] - 1.0) < 1e-6
+    assert abs(r["APl"] - 1.0) < 1e-6
+
+
+def test_mask_iou_and_segm_eval():
+    m_gt = np.zeros((20, 20), bool)
+    m_gt[0:10, 0:10] = True
+    m_det_good = m_gt.copy()
+    m_det_half = np.zeros((20, 20), bool)
+    m_det_half[0:10, 0:5] = True
+    iou = mask_iou_matrix([m_det_half], [m_gt])[0, 0]
+    assert abs(iou - 0.5) < 1e-6
+    g = [gt([[0, 0, 10, 10]], [1], masks=[m_gt])]
+    d = [det([[0, 0, 10, 10]], [0.9], [1], masks=[m_det_good])]
+    r = evaluate(g, d, num_classes=2, iou_type="segm")
+    assert abs(r["AP"] - 1.0) < 1e-6
+
+
+def test_voc_ap_metrics():
+    recall = np.array([0.5, 1.0])
+    precision = np.array([1.0, 0.5])
+    # AUC: 0.5*1.0 + 0.5*0.5 = 0.75
+    assert abs(voc_ap(recall, precision) - 0.75) < 1e-6
+    # 11-point: r in {0,...,0.5} -> p=1 (6 pts), r in {0.6..1.0} -> 0.5 (5)
+    want = (6 * 1.0 + 5 * 0.5) / 11
+    assert abs(voc_ap(recall, precision, use_07_metric=True) - want) < 1e-6
+
+
+def test_voc_eval_difficult_excluded():
+    g = [
+        {
+            "boxes": np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32),
+            "classes": np.array([1, 1]),
+            "difficult": np.array([0, 1]),
+        }
+    ]
+    d = [det([[0, 0, 10, 10], [20, 20, 30, 30]], [0.9, 0.8], [1, 1])]
+    r = evaluate_voc(g, d, num_classes=2)
+    # difficult gt doesn't count as positive; its detection is discarded
+    assert abs(r["mAP"] - 1.0) < 1e-6
+
+
+def test_voc_duplicate_detection_is_fp():
+    g = [
+        {
+            "boxes": np.array([[0, 0, 10, 10]], np.float32),
+            "classes": np.array([1]),
+            "difficult": np.array([0]),
+        }
+    ]
+    d = [det([[0, 0, 10, 10], [1, 0, 11, 10]], [0.9, 0.8], [1, 1])]
+    r = evaluate_voc(g, d, num_classes=2)
+    assert abs(r["mAP"] - 1.0) < 1e-6  # recall 1 at rank 1; dup FP after
