@@ -33,6 +33,10 @@ def get_dataset(cfg, split: str, train: bool):
         from detectron_tpu.data.voc import VocDataset
 
         return VocDataset(cfg.data.root, split)
+    if name == "citypersons":
+        from detectron_tpu.data.citypersons import CityPersonsDataset
+
+        return CityPersonsDataset(cfg.data.root, split)
     if name == "synthetic":
         from detectron_tpu.data.synthetic import make_batch  # noqa: F401
 
@@ -44,14 +48,22 @@ class Loader:
     """Iterates fixed-shape batch dicts; infinite (shuffled) when train."""
 
     def __init__(self, dataset, cfg, train: bool = True, seed: int = 0,
-                 num_workers: int | None = None, queue_size: int = 4):
+                 num_workers: int | None = None, queue_size: int = 4,
+                 process_shard: tuple[int, int] | None = None):
+        """process_shard=(index, count) gives each host a disjoint slice of
+        the dataset and of the global batch (multi-host data parallelism,
+        SURVEY.md §5.8); None = single-process (all data, full batch)."""
         self.dataset = dataset
         self.cfg = cfg
         self.train = train
         self.seed = seed
         self.num_workers = num_workers or cfg.data.num_workers
         self.queue_size = queue_size
-        self.batch_size = cfg.train.batch_size
+        idx, count = process_shard or (0, 1)
+        self.shard_index, self.shard_count = idx, count
+        assert cfg.train.batch_size % count == 0, (
+            "global batch must divide across hosts")
+        self.batch_size = cfg.train.batch_size // count
 
     def _example(self, index: int, rng) -> dict:
         ex = self.dataset.example(index)
@@ -71,7 +83,7 @@ class Loader:
         n = len(self.dataset)
         rng = np.random.RandomState(self.seed)
         if not self.train:
-            order = list(range(n))
+            order = list(range(self.shard_index, n, self.shard_count))
             # pad the tail to a full batch by repeating the last example
             while len(order) % self.batch_size:
                 order.append(order[-1])
@@ -79,8 +91,10 @@ class Loader:
         else:
             def infinite():
                 while True:
+                    # identical permutation on every host (seeded), each
+                    # host takes its own stride -> disjoint global batch
                     perm = rng.permutation(n)
-                    yield from perm
+                    yield from perm[self.shard_index :: self.shard_count]
 
             indices_iter = infinite()
 

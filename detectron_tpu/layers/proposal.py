@@ -39,6 +39,7 @@ def generate_proposals(
     post_nms_topk: int,
     nms_thresh: float = 0.7,
     min_size: float = 0.0,
+    nms_impl: str = "jnp",
 ) -> Proposals:
     """RPN proposals for a batch. Scores are raw logits (monotonic with
     sigmoid, so no activation needed for ranking; sigmoid applied for the
@@ -71,8 +72,12 @@ def generate_proposals(
 
         # per-level NMS, vmapped over the level axis (Detectron FPN recipe)
         keep_cap = min(post_nms_topk, pre_nms_topk)
+        if nms_impl == "pallas":
+            from detectron_tpu.ops.nms_pallas import nms_pallas as nms_fn
+        else:
+            nms_fn = nms_padded
         idx, keep_valid = jax.vmap(
-            lambda b, s, v: nms_padded(b, s, nms_thresh, keep_cap, valid=v)
+            lambda b, s, v: nms_fn(b, s, nms_thresh, keep_cap, valid=v)
         )(boxes, scores, valid)
         kept_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
         kept_scores = jnp.take_along_axis(scores, idx, axis=1)

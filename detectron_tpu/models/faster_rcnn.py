@@ -38,6 +38,24 @@ RPN_STRIDES = (4, 8, 16, 32, 64)  # P2..P6
 ROI_STRIDES = (4, 8, 16, 32)  # box/mask heads pool from P2..P5
 
 
+def _resolve_fused(mode: str) -> bool:
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def use_fused_nms(cfg) -> bool:
+    """Pallas NMS kernel iff configured (auto = on TPU)."""
+    return _resolve_fused(cfg.model.get("fused_nms", "auto"))
+
+
+def use_fused_roi_align(cfg) -> bool:
+    """Pallas RoIAlign kernel iff configured."""
+    return _resolve_fused(cfg.model.get("fused_roi_align", "off"))
+
+
 def rpn_anchor_generator(cfg) -> AnchorGenerator:
     return AnchorGenerator(
         strides=RPN_STRIDES,
@@ -93,19 +111,28 @@ class TwoStageDetector(nn.Module):
         outs = [self.rpn_head(p) for p in levels]
         return [o[0] for o in outs], [o[1] for o in outs]
 
-    def box(self, levels, rois):
-        pooled = multilevel_roi_align(
-            levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
-            output_size=self.pool_size, sampling_ratio=self.sampling_ratio,
-        )
-        return self.box_head(pooled)
+    def _pool(self, levels, rois, size, fused):
+        if fused:
+            from detectron_tpu.ops.roi_align_pallas import (
+                multilevel_roi_align_pallas,
+            )
 
-    def mask(self, levels, rois):
-        pooled = multilevel_roi_align(
+            return multilevel_roi_align_pallas(
+                levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
+                output_size=size, sampling_ratio=self.sampling_ratio,
+            )
+        return multilevel_roi_align(
             levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
-            output_size=self.mask_pool_size, sampling_ratio=self.sampling_ratio,
+            output_size=size, sampling_ratio=self.sampling_ratio,
         )
-        return self.mask_head(pooled)
+
+    def box(self, levels, rois, fused: bool = False):
+        return self.box_head(self._pool(levels, rois, self.pool_size, fused))
+
+    def mask(self, levels, rois, fused: bool = False):
+        return self.mask_head(
+            self._pool(levels, rois, self.mask_pool_size, fused)
+        )
 
     def __call__(self, images, rois):
         levels = self.features(images)
@@ -164,6 +191,7 @@ def proposals_from_rpn(scores_pl, deltas_pl, anchors_pl, image_hw, cfg,
         post_nms_topk=cfg.rpn.post_nms_topk_train if train else cfg.rpn.post_nms_topk_test,
         nms_thresh=cfg.rpn.nms_thresh,
         min_size=cfg.rpn.min_size,
+        nms_impl="pallas" if use_fused_nms(cfg) else "jnp",
     )
 
 
@@ -224,6 +252,7 @@ def fastrcnn_inference(cls_logits, reg, rois, roi_valid, image_hw, cfg) -> Detec
         idx, keep = class_aware_nms(
             cand_boxes, top_s, cand_cls, cfg.test.nms_thresh,
             cfg.test.detections_per_image, valid=cand_valid,
+            impl="pallas" if use_fused_nms(cfg) else "jnp",
         )
         return Detections(
             boxes=jnp.where(keep[:, None], cand_boxes[idx], 0.0),
@@ -303,12 +332,15 @@ def faster_rcnn_eval_forward(
     scores_pl, deltas_pl = model.apply(params, levels, method=model.rpn)
     props = proposals_from_rpn(scores_pl, deltas_pl, anchors_pl, image_hw, cfg,
                                train=False)
-    cls_logits, reg = model.apply(params, levels, props.boxes, method=model.box)
+    fused = use_fused_roi_align(cfg)
+    cls_logits, reg = model.apply(params, levels, props.boxes, method=model.box,
+                                  fused=fused)
     dets = fastrcnn_inference(cls_logits, reg, props.boxes, props.valid,
                               image_hw, cfg)
     if not (with_masks and model.include_mask):
         return dets, None
-    mask_logits = model.apply(params, levels, dets.boxes, method=model.mask)
+    mask_logits = model.apply(params, levels, dets.boxes, method=model.mask,
+                              fused=fused)
     k = jnp.clip(dets.classes - 1, 0, mask_logits.shape[-1] - 1)
     own = jnp.take_along_axis(
         mask_logits, k[:, :, None, None, None].astype(jnp.int32), axis=-1

@@ -183,9 +183,12 @@ def retinanet_inference(outputs, anchors_per_level, image_hw, cfg):
         scores = jnp.concatenate(cand_scores, 0)
         classes = jnp.concatenate(cand_cls, 0)
         valid = jnp.concatenate(cand_valid, 0)
+        from detectron_tpu.models.faster_rcnn import use_fused_nms
+
         idx, keep_valid = class_aware_nms(
             boxes, scores, classes, cfg.retinanet.nms_thresh,
             cfg.test.detections_per_image, valid=valid,
+            impl="pallas" if use_fused_nms(cfg) else "jnp",
         )
         return Detections(
             boxes=boxes[idx],

@@ -97,6 +97,7 @@ def class_aware_nms(
     max_out: int,
     valid: jnp.ndarray | None = None,
     offset: float = 0.0,
+    impl: str = "jnp",
 ):
     """Per-class NMS in one fused pass via the class-offset trick.
 
@@ -108,6 +109,13 @@ def class_aware_nms(
     """
     span = jnp.max(boxes) - jnp.min(boxes) + 1.0
     shift = (classes.astype(boxes.dtype) * span)[:, None]
+    if impl == "pallas":
+        from detectron_tpu.ops.nms_pallas import nms_pallas
+
+        return nms_pallas(
+            boxes + shift, scores, iou_threshold, max_out, valid=valid,
+            offset=offset,
+        )
     return nms_padded(
         boxes + shift, scores, iou_threshold, max_out, valid=valid, offset=offset
     )

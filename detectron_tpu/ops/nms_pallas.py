@@ -48,7 +48,8 @@ def _iou_block(a, b, offset: float):
     return inter / jnp.maximum(union, 1e-8)
 
 
-def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, thresh: float, offset: float):
+def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, thresh: float, offset: float,
+                n_tiles: int):
     """Grid dim 0 = tile index (sequential on TPU). keep_ref: [n_tiles*T]
     float32 accumulated output (also serves as cross-tile state)."""
     j = pl.program_id(0)
@@ -56,26 +57,32 @@ def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, thresh: float, offset: float)
     bj = boxes_ref[pl.ds(j * t, t), :]  # [T, 4]
     vj = valid_ref[0, pl.ds(j * t, t)]  # [T]
 
-    # suppression by earlier tiles' kept boxes
-    def prev_tile(p, sup):
+    # suppression by earlier tiles' kept boxes. Static loop bound (Mosaic
+    # cannot legalize grid-dependent scf.for bounds); tiles p >= j are
+    # masked out — their keep slots are not yet written.
+    def prev_tile(p, sup_f):
         bp = boxes_ref[pl.ds(p * t, t), :]
         kp = keep_ref[0, pl.ds(p * t, t)]  # finalized keeps of tile p
         iou = _iou_block(bp, bj, offset)  # [T(p), T(j)]
-        hit = (iou > thresh) & (kp > 0.0)[:, None]
-        return sup | jnp.any(hit, axis=0)
+        # f32 reshape then compare: Mosaic can't reshape 1-bit vectors;
+        # loop carry is f32 for the same reason.
+        hit = (iou > thresh) & (kp[:, None] > 0.0) & (p < j)
+        return jnp.maximum(sup_f, jnp.any(hit, axis=0).astype(jnp.float32))
 
     suppressed = jax.lax.fori_loop(
-        0, j, prev_tile, jnp.zeros((t,), jnp.bool_)
+        0, n_tiles, prev_tile, jnp.zeros((t,), jnp.float32)
     )
 
-    keep = (vj > 0.0) & ~suppressed
+    keep = jnp.where(vj > 0.0, 1.0 - suppressed, 0.0)
     iou_jj = _iou_block(bj, bj, offset)  # [T, T]
-    hit_jj = iou_jj > thresh
     idx = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0]
-    # statically unrolled greedy within the tile (score order = row order)
+    # statically unrolled greedy within the tile (score order = row order).
+    # float arithmetic throughout: Mosaic can't extract bool scalars.
     for i in range(t):
-        keep = keep & ~(hit_jj[i] & keep[i] & (idx > i))
-    keep_ref[0, pl.ds(j * t, t)] = keep.astype(jnp.float32)
+        k_i = keep[i]  # f32 scalar: 1 if box i survives
+        sup = (iou_jj[i] > thresh) & (idx > i)
+        keep = keep * jnp.where(sup, 1.0 - k_i, 1.0)
+    keep_ref[0, pl.ds(j * t, t)] = keep
 
 
 @functools.partial(
@@ -109,7 +116,8 @@ def nms_pallas(
     svalid_p = jnp.pad(svalid.astype(jnp.float32), (0, pad))[None, :]
 
     keep = pl.pallas_call(
-        functools.partial(_nms_kernel, thresh=iou_threshold, offset=offset),
+        functools.partial(_nms_kernel, thresh=iou_threshold, offset=offset,
+                          n_tiles=n_pad // TILE),
         grid=(n_pad // TILE,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

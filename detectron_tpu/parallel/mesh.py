@@ -29,6 +29,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> tuple[int, int]:
+    """Multi-host init (SURVEY.md §5.8): call once per host before device
+    use. No-ops cleanly in single-process runs (the common case here).
+    Returns (process_index, process_count)."""
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if num_devices:

@@ -99,6 +99,7 @@ def main():
                 "classes": ex["classes"],
                 "ignore": None,
                 "difficult": ex.get("difficult"),
+                "ignore_boxes": ex.get("ignore_boxes"),
             })
             seen += 1
         if seen >= limit:
@@ -106,6 +107,10 @@ def main():
 
     if cfg.data.dataset == "voc":
         res = evaluate_voc(gts, dts, ds.num_classes)
+    elif cfg.data.dataset == "citypersons":
+        from detectron_tpu.eval.mr_eval import evaluate_mr
+
+        res = evaluate_mr(gts, dts)
     else:
         res = evaluate_coco(gts, dts, cfg.model.num_classes)
         if dts and "masks" in dts[0]:

@@ -1,0 +1,98 @@
+"""CityPersons adapter + MR^-2 evaluation tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from detectron_tpu.data.citypersons import CityPersonsDataset
+from detectron_tpu.eval.mr_eval import evaluate_mr
+
+
+@pytest.fixture
+def tiny_citypersons(tmp_path):
+    import cv2
+
+    root = tmp_path / "cp"
+    ann_dir = root / "gtBboxCityPersons" / "val" / "testcity"
+    img_dir = root / "leftImg8bit" / "val" / "testcity"
+    ann_dir.mkdir(parents=True)
+    img_dir.mkdir(parents=True)
+    ann = {
+        "imgHeight": 128,
+        "imgWidth": 256,
+        "objects": [
+            {"label": "pedestrian", "bbox": [10, 10, 30, 80],
+             "bboxVis": [10, 10, 30, 80]},
+            # too small -> ignore
+            {"label": "pedestrian", "bbox": [100, 100, 10, 20],
+             "bboxVis": [100, 100, 10, 20]},
+            # occluded -> ignore
+            {"label": "pedestrian", "bbox": [150, 10, 30, 90],
+             "bboxVis": [150, 10, 30, 20]},
+            {"label": "ignore", "bbox": [200, 50, 40, 40]},
+            {"label": "car", "bbox": [0, 0, 5, 5]},  # non-person: skipped
+        ],
+    }
+    with open(ann_dir / "x_000001_gtBboxCityPersons.json", "w") as f:
+        json.dump(ann, f)
+    cv2.imwrite(str(img_dir / "x_000001_leftImg8bit.png"),
+                np.full((128, 256, 3), 50, np.uint8))
+    return str(root)
+
+
+def test_citypersons_reasonable_filtering(tiny_citypersons):
+    ds = CityPersonsDataset(tiny_citypersons, "val")
+    assert len(ds) == 1 and ds.num_classes == 2
+    ex = ds.example(0)
+    assert ex["image"].shape == (128, 256, 3)
+    # only the first pedestrian survives 'reasonable'
+    assert len(ex["boxes"]) == 1
+    np.testing.assert_allclose(ex["boxes"][0], [10, 10, 40, 90])
+    # 3 ignore boxes (small ped, occluded ped, ignore region)
+    assert len(ex["ignore_boxes"]) == 3
+
+
+def test_mr2_perfect_detector():
+    gt = [{"boxes": np.array([[0, 0, 20, 60]], np.float32)}]
+    det = [{"boxes": np.array([[0, 0, 20, 60]], np.float32),
+            "scores": np.array([0.9])}]
+    r = evaluate_mr(gt, det)
+    assert r["MR-2"] < 1e-6
+
+
+def test_mr2_missed_gt_is_one():
+    gt = [{"boxes": np.array([[0, 0, 20, 60]], np.float32)}]
+    det = [{"boxes": np.zeros((0, 4), np.float32), "scores": np.zeros(0)}]
+    r = evaluate_mr(gt, det)
+    assert abs(r["MR-2"] - 1.0) < 1e-9
+
+
+def test_mr2_false_positives_raise_mr():
+    # 1 gt hit with low score + many higher-scored FPs: at low FPPI the hit
+    # is below the FP flood -> misses
+    gt = [{"boxes": np.array([[0, 0, 20, 60]], np.float32)} for _ in range(10)]
+    det = []
+    for i in range(10):
+        boxes = [[0, 0, 20, 60]] + [[500 + 30 * j, 0, 520 + 30 * j, 60]
+                                    for j in range(5)]
+        scores = [0.3] + [0.9 - 0.01 * j for j in range(5)]
+        det.append({"boxes": np.array(boxes, np.float32),
+                    "scores": np.array(scores)})
+    r = evaluate_mr(gt, det)
+    assert r["MR-2"] > 0.5  # the TPs rank below 5 FPPI worth of FPs
+
+
+def test_mr2_ignore_regions_absorb():
+    gt = [{
+        "boxes": np.array([[0, 0, 20, 60]], np.float32),
+        "ignore_boxes": np.array([[100, 100, 140, 160]], np.float32),
+    }]
+    det = [{
+        "boxes": np.array([[0, 0, 20, 60], [105, 105, 138, 155]], np.float32),
+        "scores": np.array([0.8, 0.95]),
+    }]
+    r = evaluate_mr(gt, det)
+    # the ignore-region detection is absorbed -> perfect score
+    assert r["MR-2"] < 1e-6

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 
@@ -23,6 +24,8 @@ def parse_args():
     ap.add_argument("--cfg", nargs="*", default=[], help="key=value overrides")
     ap.add_argument("--restore", action="store_true",
                     help="resume from the latest checkpoint in output_dir")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of steps 10-15")
     return ap.parse_args()
 
 
@@ -57,6 +60,7 @@ def main():
     from detectron_tpu.train import checkpoint as ckpt
     from detectron_tpu.train.state import create_train_state
     from detectron_tpu.utils import Timer
+    from detectron_tpu.utils.metrics import MetricsWriter
 
     cfg = get_config(args.config, args.cfg)
     print(f"model={cfg.model.name} backbone={cfg.model.backbone} "
@@ -76,10 +80,16 @@ def main():
     key = jax.random.key(cfg.train.seed + 1)
 
     timer = Timer()
+    writer = MetricsWriter(cfg.output_dir)
     data_iter = batch_iterator(cfg)
     start = int(state.step)
     t_log = time.perf_counter()
     for step in range(start, cfg.train.max_steps):
+        if args.profile and step == start + 10:
+            jax.profiler.start_trace(os.path.join(cfg.output_dir, "profile"))
+        if args.profile and step == start + 15:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {cfg.output_dir}/profile")
         timer.tic("data")
         batch = shard_batch(
             jax.tree.map(jnp.asarray, next(data_iter)), mesh
@@ -97,6 +107,7 @@ def main():
             loss_str = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
             print(f"step {step + 1}/{cfg.train.max_steps} lr={lr:.5f} "
                   f"{loss_str} ({ips:.1f} img/s) [{timer.summary()}]")
+            writer.write(step + 1, {**m, "lr": lr, "img_per_sec": ips})
         if (step + 1) % cfg.train.checkpoint_every == 0:
             ckpt.save(mgr, state)
     ckpt.save(mgr, state)
