@@ -135,6 +135,22 @@ class CocoDataset:
             "boxes": boxes,
             "classes": classes,
             "masks": masks,
+            "polygons": [a.get("segmentation") for a in anns],
             "image_id": info["id"],
             "orig_hw": (info["height"], info["width"]),
         }
+
+    @staticmethod
+    def rasterize_full(polygons, hw) -> np.ndarray:
+        """Full-image binary mask from polygon segmentation (for segm eval)."""
+        import cv2
+
+        h, w = hw
+        canvas = np.zeros((h, w), np.uint8)
+        if isinstance(polygons, list):
+            pts = [
+                np.round(np.asarray(p, np.float64).reshape(-1, 2)).astype(np.int32)
+                for p in polygons
+            ]
+            cv2.fillPoly(canvas, pts, 1)
+        return canvas.astype(bool)

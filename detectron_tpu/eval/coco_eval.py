@@ -46,7 +46,12 @@ def box_iou_matrix(a: np.ndarray, b: np.ndarray, crowd: np.ndarray | None = None
 
 
 def mask_iou_matrix(a: list, b: list, crowd: np.ndarray | None = None):
-    """IoU between two lists of binary masks (bool [H,W])."""
+    """IoU between two lists of masks: dense bool [H,W] arrays OR
+    detectron_tpu.native.RLE objects (dispatched to the C++ codec)."""
+    if len(a) and len(b) and hasattr(a[0], "counts"):
+        from detectron_tpu.native import rle_iou
+
+        return rle_iou(a, b, iscrowd=crowd)
     out = np.zeros((len(a), len(b)), np.float64)
     for i, ma in enumerate(a):
         sa = ma.sum()

@@ -85,22 +85,32 @@ def main():
                 "classes": classes[i][v],
                 "image_id": ids[i],
             }
+            hw_i = tuple(int(x) for x in orig_hw[i])
             if masks_np is not None:
+                from detectron_tpu.native import RLE
+
                 full = paste_masks_numpy(
-                    masks_np[i][v], b[v], np.ones(v.sum(), bool),
-                    tuple(int(x) for x in orig_hw[i]),
+                    masks_np[i][v], b[v], np.ones(int(v.sum()), bool), hw_i,
                     threshold=cfg.mask.paste_threshold,
                 )
-                d["masks"] = [m.astype(bool) for m in full]
+                d["masks"] = [RLE.encode(m) for m in full]
             dts.append(d)
             ex = ds.example(seen)
-            gts.append({
+            g = {
                 "boxes": ex["boxes"],
                 "classes": ex["classes"],
                 "ignore": None,
                 "difficult": ex.get("difficult"),
                 "ignore_boxes": ex.get("ignore_boxes"),
-            })
+            }
+            if masks_np is not None and ex.get("polygons") is not None:
+                from detectron_tpu.native import RLE
+
+                g["masks"] = [
+                    RLE.encode(ds.rasterize_full(p, hw_i))
+                    for p in ex["polygons"]
+                ]
+            gts.append(g)
             seen += 1
         if seen >= limit:
             break
@@ -113,14 +123,22 @@ def main():
         res = evaluate_mr(gts, dts)
     else:
         res = evaluate_coco(gts, dts, cfg.model.num_classes)
-        if dts and "masks" in dts[0]:
-            # segm eval requires gt masks; bbox-only here unless provided
-            pass
+        if dts and dts[0].get("masks") is not None and gts[0].get("masks"):
+            segm = evaluate_coco(
+                gts, dts, cfg.model.num_classes, iou_type="segm"
+            )
+            res.update({f"segm_{k}": v for k, v in segm.items()
+                        if k != "per_class"})
     os.makedirs(cfg.output_dir, exist_ok=True)
     out_path = os.path.join(cfg.output_dir, "eval_results.json")
+
+    def clean(v):  # NaN (e.g. empty area bucket) is not valid strict JSON
+        return None if isinstance(v, float) and v != v else v
+
     with open(out_path, "w") as f:
-        json.dump({k: v for k, v in res.items() if k != "per_class"}, f, indent=2)
-    print(json.dumps({k: round(v, 4) for k, v in res.items()
+        json.dump({k: clean(v) for k, v in res.items() if k != "per_class"},
+                  f, indent=2)
+    print(json.dumps({k: clean(round(v, 4)) for k, v in res.items()
                       if isinstance(v, float)}, indent=2))
     print("wrote", out_path)
 

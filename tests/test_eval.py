@@ -128,3 +128,15 @@ def test_voc_duplicate_detection_is_fp():
     d = [det([[0, 0, 10, 10], [1, 0, 11, 10]], [0.9, 0.8], [1, 1])]
     r = evaluate_voc(g, d, num_classes=2)
     assert abs(r["mAP"] - 1.0) < 1e-6  # recall 1 at rank 1; dup FP after
+
+
+def test_segm_eval_with_rle_masks():
+    """evaluate(iou_type='segm') dispatches to the native RLE codec."""
+    from detectron_tpu.native import RLE
+
+    m_gt = np.zeros((20, 20), bool)
+    m_gt[0:10, 0:10] = True
+    g = [gt([[0, 0, 10, 10]], [1], masks=[RLE.encode(m_gt)])]
+    d = [det([[0, 0, 10, 10]], [0.9], [1], masks=[RLE.encode(m_gt)])]
+    r = evaluate(g, d, num_classes=2, iou_type="segm")
+    assert abs(r["AP"] - 1.0) < 1e-6

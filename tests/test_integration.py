@@ -1,0 +1,124 @@
+"""End-to-end integration: overfit a detector on a fixed synthetic batch and
+verify the FULL inference + evaluation protocol recovers the ground truth
+(SURVEY.md §4: "overfit test (loss -> 0, detections recover gt)")."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from detectron_tpu.config import get_config
+from detectron_tpu.data.synthetic import make_batch
+from detectron_tpu.eval.coco_eval import evaluate
+from detectron_tpu.models.zoo import build_detector
+from detectron_tpu.train import state as train_state
+
+
+def overfit_cfg(name):
+    c = get_config()
+    c.model.name = name
+    c.model.num_classes = 3
+    c.model.fpn_channels = 32
+    c.model.frozen_stages = 0
+    c.data.image_size = (128, 128)
+    c.train.base_lr = 0.01
+    c.train.grad_clip_norm = 1.0
+    c.train.warmup_steps = 20
+    c.train.warmup_factor = 0.1
+    c.train.lr_decay_steps = (10000,)
+    c.train.max_gt_boxes = 8
+    c.rpn.pre_nms_topk_train = 128
+    c.rpn.post_nms_topk_train = 64
+    c.rpn.pre_nms_topk_test = 128
+    c.rpn.post_nms_topk_test = 32
+    c.roi.batch_per_image = 32
+    c.retinanet.pre_nms_topk = 100
+    c.test.detections_per_image = 10
+    c.test.score_thresh = 0.3
+    return c
+
+
+@pytest.mark.slow
+def test_overfit_retinanet_recovers_gt_via_eval_protocol():
+    cfg = overfit_cfg("retinanet")
+    det = build_detector(cfg)
+    params = det.init(jax.random.key(0), (128, 128))
+    state, tx, _ = train_state.create_train_state(cfg, params)
+    # one object per image, large and unambiguous
+    batch = make_batch(np.random.RandomState(5), 2, (128, 128), 3,
+                       max_gt=8, max_objects=1)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+
+    @jax.jit
+    def step(st, key):
+        (total, _), grads = jax.value_and_grad(
+            lambda p: det.loss_fn(p, jbatch, key), has_aux=True
+        )(st.params)
+        return train_state.apply_gradients(st, grads, tx), total
+
+    total = None
+    for i in range(150):
+        state, total = step(state, jax.random.key(i))
+    assert np.isfinite(float(total))
+
+    dets, _ = jax.jit(lambda p, b: det.predict_fn(p, b))(state.params, jbatch)
+    gts, dts = [], []
+    for i in range(2):
+        keep = batch["gt_classes"][i] > 0
+        gts.append({
+            "boxes": batch["gt_boxes"][i][keep],
+            "classes": batch["gt_classes"][i][keep],
+            "ignore": None,
+        })
+        v = np.asarray(dets.valid[i])
+        dts.append({
+            "boxes": np.asarray(dets.boxes[i])[v],
+            "scores": np.asarray(dets.scores[i])[v],
+            "classes": np.asarray(dets.classes[i])[v],
+        })
+    res = evaluate(gts, dts, num_classes=3)
+    assert res["AP50"] > 0.45, (res, float(total))
+
+
+@pytest.mark.slow
+def test_overfit_faster_rcnn_detects_objects():
+    cfg = overfit_cfg("faster_rcnn")
+    det = build_detector(cfg)
+    params = det.init(jax.random.key(0), (128, 128))
+    state, tx, _ = train_state.create_train_state(cfg, params)
+    batch = make_batch(np.random.RandomState(6), 2, (128, 128), 3,
+                       max_gt=8, max_objects=1)
+    jbatch = jax.tree.map(jnp.asarray, batch)
+
+    @jax.jit
+    def step(st, key):
+        (total, ld), grads = jax.value_and_grad(
+            lambda p: det.loss_fn(p, jbatch, key), has_aux=True
+        )(st.params)
+        return train_state.apply_gradients(st, grads, tx), total
+
+    first = None
+    for i in range(150):
+        state, total = step(state, jax.random.key(i))
+        if first is None:
+            first = float(total)
+    assert float(total) < 0.5 * first, (first, float(total))
+
+    dets, _ = jax.jit(lambda p, b: det.predict_fn(p, b))(state.params, jbatch)
+    # detections overlap the gt box with IoU > 0.5 on both images
+    from detectron_tpu.ops.boxes import bbox_overlaps
+
+    hits = 0
+    for i in range(2):
+        v = np.asarray(dets.valid[i])
+        if not v.any():
+            continue
+        keep = batch["gt_classes"][i] > 0
+        iou = np.asarray(bbox_overlaps(
+            jnp.asarray(np.asarray(dets.boxes[i])[v]),
+            jnp.asarray(batch["gt_boxes"][i][keep]),
+        ))
+        if iou.max() > 0.5:
+            hits += 1
+    assert hits == 2, hits
