@@ -133,6 +133,9 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.data.num_workers = 8
     # fixed padded image shape buckets (H, W); static shapes for XLA
     cfg.data.image_size = (1024, 1024)
+    # two-bucket mode: portrait images use the transposed canvas (bounds
+    # recompilation to 2 programs while keeping reference resize semantics)
+    cfg.data.orientation_buckets = False
 
     # --------------------------------------------------------------- parallel
     cfg.parallel = ml_collections.ConfigDict()

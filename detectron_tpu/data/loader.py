@@ -17,7 +17,7 @@ from typing import Iterator
 
 import numpy as np
 
-from detectron_tpu.data.transforms import preprocess_example
+from detectron_tpu.data.transforms import canvas_for_image, preprocess_example
 
 
 def get_dataset(cfg, split: str, train: bool):
@@ -67,9 +67,11 @@ class Loader:
 
     def _example(self, index: int, rng) -> dict:
         ex = self.dataset.example(index)
+        canvas = canvas_for_image(ex["image"].shape[:2], self.cfg)
         out = preprocess_example(
             ex["image"], ex["boxes"], ex["classes"], self.cfg,
             rng=rng, train=self.train, gt_masks=ex.get("masks"),
+            canvas_hw=canvas,
         )
         out["_image_id"] = ex.get("image_id", index)
         out["_orig_hw"] = np.asarray(ex.get("orig_hw", out["image"].shape[:2]))
@@ -124,7 +126,8 @@ class Loader:
         for t in threads:
             t.start()
         try:
-            batch: list = []
+            # one partial batch per canvas shape (orientation buckets)
+            buckets: dict = {}
             finished_workers = 0
             while True:
                 item = q.get()
@@ -135,9 +138,14 @@ class Loader:
                     continue
                 if isinstance(item, Exception):
                     raise item
-                batch.append(item)
-                if len(batch) == self.batch_size:
+                key = item["image"].shape[:2]
+                buckets.setdefault(key, []).append(item)
+                if len(buckets[key]) == self.batch_size:
+                    yield self._collate(buckets.pop(key))
+            if not self.train:  # flush partial buckets (pad by repetition)
+                for batch in buckets.values():
+                    while len(batch) % self.batch_size:
+                        batch.append(batch[-1])
                     yield self._collate(batch)
-                    batch = []
         finally:
             stop.set()

@@ -63,6 +63,17 @@ def pad_to_canvas(image: np.ndarray, canvas_hw: tuple[int, int]) -> np.ndarray:
     return out
 
 
+def canvas_for_image(image_hw, cfg) -> tuple[int, int]:
+    """Pick the padded canvas: the configured ``image_size``, transposed for
+    portrait images when ``orientation_buckets`` is on — the static-shape
+    analogue of the reference's pad-to-batch-max (SURVEY.md §7 hard part 6:
+    bucketed fixed shapes bound recompilation to two programs)."""
+    ch, cw = cfg.data.image_size
+    if cfg.data.get("orientation_buckets", False) and image_hw[0] > image_hw[1]:
+        return (max(ch, cw), min(ch, cw))
+    return (ch, cw)
+
+
 def preprocess_example(
     image: np.ndarray,
     boxes: np.ndarray,
@@ -71,6 +82,7 @@ def preprocess_example(
     rng: np.random.RandomState | None = None,
     train: bool = True,
     gt_masks: np.ndarray | None = None,
+    canvas_hw: tuple[int, int] | None = None,
 ):
     """One image -> fixed-shape example dict (without batch dim).
 
@@ -89,7 +101,7 @@ def preprocess_example(
             gt_masks = gt_masks[:, :, ::-1].copy()
     true_hw = np.asarray(image.shape[:2], np.float32)
     image = normalize(image, cfg.data.pixel_mean, cfg.data.pixel_std)
-    image = pad_to_canvas(image, cfg.data.image_size)
+    image = pad_to_canvas(image, canvas_hw or tuple(cfg.data.image_size))
 
     g = cfg.train.max_gt_boxes
     n = min(len(boxes), g)

@@ -49,7 +49,53 @@ def _greedy_keep(iou: jnp.ndarray, valid: jnp.ndarray, thresh: float) -> jnp.nda
     return keep & valid
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "offset"))
+NMS_TILE = 128
+
+
+def _greedy_keep_tiled(
+    sboxes: jnp.ndarray, valid: jnp.ndarray, thresh: float, offset: float
+) -> jnp.ndarray:
+    """Tiled greedy suppression — identical keep set to :func:`_greedy_keep`
+    but restructured for XLA/TPU: candidates are processed in 128-box tiles;
+    cross-tile suppression is a handful of vectorized [T, T] IoU blocks and
+    only the within-tile recurrence is (statically) sequential. This turns
+    the N-step dynamic loop into ~N/128 block ops + N unrolled vector ops,
+    which XLA schedules far better (same trick as ops/nms_pallas.py, minus
+    the pallas_call fusion barrier).
+
+    sboxes: [N, 4] score-sorted; valid: [N]. N is padded to the tile size.
+    """
+    t = NMS_TILE
+    n = sboxes.shape[0]
+    n_pad = ((n + t - 1) // t) * t
+    boxes = jnp.pad(sboxes, ((0, n_pad - n), (0, 0)))
+    valid = jnp.pad(valid, (0, n_pad - n))
+    tiles = boxes.reshape(-1, t, 4)
+    valid_t = valid.reshape(-1, t)
+    idx = jnp.arange(t)
+
+    keep_tiles = []
+    for j in range(n_pad // t):
+        bj = tiles[j]
+        sup = jnp.zeros((t,), bool)
+        for p in range(j):
+            iou_pb = box_ops.bbox_overlaps(tiles[p], bj, offset=offset)  # [T, T]
+            hit = (iou_pb > thresh) & keep_tiles[p][:, None]
+            sup = sup | jnp.any(hit, axis=0)
+        k = valid_t[j] & ~sup
+        hit_jj = box_ops.bbox_overlaps(bj, bj, offset=offset) > thresh
+
+        # small dynamic loop (fully unrolling segfaults the TPU compiler on
+        # big programs); each step is O(T) vector work on a [T,T] matrix
+        def body(i, kk):
+            return kk & ~(hit_jj[i] & kk[i] & (idx > i))
+
+        k = jax.lax.fori_loop(0, t, body, k)
+        keep_tiles.append(k)
+    return jnp.concatenate(keep_tiles)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "offset", "tiled"))
 def nms_padded(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -57,6 +103,7 @@ def nms_padded(
     max_out: int,
     valid: jnp.ndarray | None = None,
     offset: float = 0.0,
+    tiled: bool = True,
 ):
     """Greedy NMS with static output shape.
 
@@ -76,8 +123,11 @@ def nms_padded(
     order_scores, order = jax.lax.top_k(masked_scores, n)
     sboxes = boxes[order]
     svalid = order_scores > NEG_INF / 2
-    iou = box_ops.bbox_overlaps(sboxes, sboxes, offset=offset)
-    keep = _greedy_keep(iou, svalid, iou_threshold)
+    if tiled and n > NMS_TILE:
+        keep = _greedy_keep_tiled(sboxes, svalid, iou_threshold, offset)
+    else:
+        iou = box_ops.bbox_overlaps(sboxes, sboxes, offset=offset)
+        keep = _greedy_keep(iou, svalid, iou_threshold)
     kept_scores = jnp.where(keep, order_scores, NEG_INF)
     top_scores, top_pos = jax.lax.top_k(kept_scores, min(max_out, n))
     out_valid = top_scores > NEG_INF / 2

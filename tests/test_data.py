@@ -138,3 +138,30 @@ def test_voc_dataset(tiny_voc):
     np.testing.assert_allclose(ex["boxes"][0], [10, 10, 40, 30])
     assert ex["classes"][0] == 12  # dog
     assert len(ex["all_boxes"]) == 2
+
+
+def test_orientation_buckets(tiny_coco):
+    """Portrait/landscape images land in separate fixed canvases."""
+    import cv2
+
+    # add a portrait image to the fixture dir
+    cv2.imwrite(os.path.join(tiny_coco, "val", "000000000099.jpg"),
+                np.full((160, 60, 3), 77, np.uint8))
+    ann = json.load(open(os.path.join(tiny_coco, "annotations",
+                                      "instances_val.json")))
+    ann["images"].append({"id": 99, "file_name": "000000000099.jpg",
+                          "height": 160, "width": 60})
+    json.dump(ann, open(os.path.join(tiny_coco, "annotations",
+                                     "instances_val.json"), "w"))
+
+    cfg = get_config()
+    cfg.data.image_size = (96, 128)
+    cfg.data.orientation_buckets = True
+    cfg.data.short_side = 60
+    cfg.data.max_size = 128
+    cfg.train.batch_size = 1
+    cfg.train.max_gt_boxes = 5
+    ds = CocoDataset(tiny_coco, "val")
+    shapes = {tuple(b["image"].shape[1:3])
+              for b in Loader(ds, cfg, train=False, num_workers=1)}
+    assert shapes == {(96, 128), (128, 96)}

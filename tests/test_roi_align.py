@@ -142,3 +142,39 @@ def test_jit_and_batch():
     out = fn(feats[0], feats[1], rois)
     assert out.shape == (2, 8, 7, 7, 4)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_ps_roi_pool_position_sensitivity():
+    """Each output bin reads its own channel group: constant-per-group input
+    reproduces the group index in the matching bin."""
+    from detectron_tpu.ops.ps_roi_pool import ps_roi_pool
+
+    p, k = 3, 2
+    feat = np.zeros((1, 12, 12, p * p * k), np.float32)
+    for g in range(p * p):
+        feat[..., g * k : (g + 1) * k] = g
+    rois = jnp.asarray([[[0.0, 0.0, 47.0, 47.0]]])
+    out = ra_out = ps_roi_pool(jnp.asarray(feat), rois, stride=4, output_size=p)
+    assert out.shape == (1, 1, p, p, k)
+    for bi in range(p):
+        for bj in range(p):
+            np.testing.assert_allclose(
+                np.asarray(out[0, 0, bi, bj]), bi * p + bj, atol=1e-5
+            )
+
+
+def test_ps_roi_pool_linear_ramp_exact():
+    """On f(y,x) = x bilinear sampling is exact: bin (0,0) of an 8x8 RoI with
+    P=2, S=4 averages sample positions x in {0.5, 1.5, 2.5, 3.5} -> 2.0."""
+    from detectron_tpu.ops.ps_roi_pool import ps_roi_pool
+
+    p, k = 2, 1
+    ramp = np.broadcast_to(
+        np.arange(8, dtype=np.float32)[None, :, None], (8, 8, p * p * k)
+    )
+    feat = jnp.asarray(ramp[None])
+    rois = jnp.asarray([[[0.0, 0.0, 8.0, 8.0]]])
+    out = ps_roi_pool(feat, rois, stride=1, output_size=p, sampling_ratio=4)
+    np.testing.assert_allclose(float(out[0, 0, 0, 0, 0]), 2.0, atol=1e-5)
+    # right bin: x in {4.5, 5.5, 6.5, 7.5}, 7.5 border-clamps to 7 -> 5.875
+    np.testing.assert_allclose(float(out[0, 0, 0, 1, 0]), 5.875, atol=1e-5)
