@@ -72,6 +72,7 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.roi.pool_size = 7
     cfg.roi.mask_pool_size = 14
     cfg.roi.sampling_ratio = 2
+    cfg.roi.pool_type = "align"  # align (RoIAlign) | pool (max RoIPool)
     cfg.roi.bbox_reg_weights = (10.0, 10.0, 5.0, 5.0)
     cfg.roi.smooth_l1_sigma = 1.0
     cfg.roi.class_agnostic_regression = False
@@ -84,6 +85,11 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.retinanet.focal_gamma = 2.0
     cfg.retinanet.prior_prob = 0.01
     cfg.retinanet.pre_nms_topk = 1000  # per level
+    # candidate selection over the Nl*K flattened score table: exact top_k
+    # is very slow on TPU for ~12M-entry levels; approx_max_k (recall ~0.99,
+    # hardware-optimized) is the default (mAP-neutral: only low-score
+    # candidates near the cutoff differ)
+    cfg.retinanet.exact_topk = False
     cfg.retinanet.score_thresh = 0.05
     cfg.retinanet.nms_thresh = 0.5
     cfg.retinanet.smooth_l1_beta = 0.1111111111111111  # = 1/9, Detectron default
@@ -117,6 +123,9 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.train.seed = 0
     cfg.train.max_gt_boxes = 100  # static padded gt capacity / image
     cfg.train.loss_scale = 1.0
+    # debug mode: raise on NaN inside jitted code (SURVEY.md §5.2 — XLA is
+    # deterministic, so NaN-checking is the rebuild's sanitizer equivalent)
+    cfg.train.debug_nans = False
 
     # ------------------------------------------------------------------- data
     cfg.data = ml_collections.ConfigDict()

@@ -85,6 +85,7 @@ class TwoStageDetector(nn.Module):
     sampling_ratio: int = 2
     class_agnostic: bool = False
     include_mask: bool = False
+    pool_type: str = "align"  # align | pool (reference ships both ops)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -112,6 +113,20 @@ class TwoStageDetector(nn.Module):
         return [o[0] for o in outs], [o[1] for o in outs]
 
     def _pool(self, levels, rois, size, fused):
+        if self.pool_type == "pool":
+            # RoIPool path (reference: libs/roi_pooling; zoo config 1's
+            # "RoI path" knob) — single-level max pooling on P2-equivalent
+            from detectron_tpu.ops.roi_align import assign_fpn_levels, roi_pool
+
+            # route each RoI to its level, pool there (level-wise max pool)
+            lvl = assign_fpn_levels(rois, len(ROI_STRIDES), 2)
+            outs = [
+                roi_pool(levels[l], rois, ROI_STRIDES[l], output_size=size)
+                for l in range(len(ROI_STRIDES))
+            ]
+            stacked = jnp.stack(outs, axis=0)  # [L, B, R, P, P, C]
+            sel = jax.nn.one_hot(lvl, len(ROI_STRIDES), axis=0)  # [L, B, R]
+            return jnp.sum(stacked * sel[..., None, None, None], axis=0)
         if fused:
             from detectron_tpu.ops.roi_align_pallas import (
                 multilevel_roi_align_pallas,
@@ -154,6 +169,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         sampling_ratio=cfg.roi.sampling_ratio,
         class_agnostic=cfg.roi.class_agnostic_regression,
         include_mask=include_mask,
+        pool_type=cfg.roi.get("pool_type", "align"),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )
 

@@ -168,7 +168,12 @@ def retinanet_inference(outputs, anchors_per_level, image_hw, cfg):
             scores = jax.nn.sigmoid(cls_l.reshape(nl, k))
             flat = scores.reshape(-1)  # [Nl * k]
             t = min(topk_per_level, flat.shape[0])
-            top_scores, top_idx = jax.lax.top_k(flat, t)
+            if cfg.retinanet.get("exact_topk", False) or flat.shape[0] < 4 * t:
+                top_scores, top_idx = jax.lax.top_k(flat, t)
+            else:
+                top_scores, top_idx = jax.lax.approx_max_k(
+                    flat, t, recall_target=0.99
+                )
             a_idx = top_idx // k
             c_idx = top_idx % k
             boxes = box_ops.decode_boxes(

@@ -143,3 +143,19 @@ def test_eval_forward_shapes_and_validity(cfg, frcnn_setup):
     assert np.all(s[v] > cfg.test.score_thresh)
     b = np.asarray(dets.boxes[0])
     assert b.min() >= 0 and b.max() <= 128.0
+
+
+def test_roi_pool_path_runs(cfg):
+    """cfg.roi.pool_type=pool swaps RoIAlign for max RoIPool end-to-end."""
+    import ml_collections
+
+    c = ml_collections.ConfigDict(cfg.to_dict())
+    c.roi.pool_type = "pool"
+    model = frcnn.build_two_stage(c, include_mask=False)
+    images = jnp.ones((1, 128, 128, 3))
+    rois = jnp.zeros((1, 4, 4)).at[:, :, 2:].set(32.0)
+    params = jax.jit(model.init)(jax.random.key(0), images, rois)
+    hw = jnp.array([[128.0, 128.0]])
+    dets, _ = frcnn.faster_rcnn_eval_forward(model, params, images, hw, c)
+    assert dets.boxes.shape[0] == 1
+    assert bool(jnp.all(jnp.isfinite(dets.boxes)))

@@ -63,6 +63,8 @@ def main():
     from detectron_tpu.utils.metrics import MetricsWriter
 
     cfg = get_config(args.config, args.cfg)
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     print(f"model={cfg.model.name} backbone={cfg.model.backbone} "
           f"dataset={cfg.data.dataset} devices={jax.device_count()}")
 
