@@ -25,7 +25,9 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.model.num_classes = 81  # includes background at index 0 (COCO: 80 + 1)
     cfg.model.fpn_channels = 256
     cfg.model.frozen_stages = 1  # freeze conv1+res2 like the reference fine-tune
-    cfg.model.norm = "frozen_bn"  # frozen_bn | bn | gn
+    # normalization: frozen BN only (the reference's sole mode — affine
+    # folded from pretrained stats; trainable-norm variants are future work)
+    cfg.model.norm = "frozen_bn"
     cfg.model.dtype = "float32"  # compute dtype: float32 | bfloat16
     # Pallas kernels on the inference path, per op: auto = when on TPU;
     # on/off force. Measured on v5e @1024^2 bs=2 bf16 (full Mask R-CNN):

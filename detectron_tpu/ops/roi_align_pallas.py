@@ -95,47 +95,67 @@ def _make_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype):
     def kernel(rois_ref, lvl_ref, bidx_ref, *refs):
         feat_refs = refs[:num_levels]
         out_ref = refs[num_levels]
-        win_scratch = refs[num_levels + 1]
-        sem = refs[num_levels + 2]
+        win_scratch = refs[num_levels + 1]  # [2, wh, ww, C] double buffer
+        sems = refs[num_levels + 2]  # DMA sems [2]
         n = pl.program_id(0)
-        lvl = lvl_ref[n]
-        b = bidx_ref[n]
-        x1 = rois_ref[n, 0]
-        y1 = rois_ref[n, 1]
-        x2 = rois_ref[n, 2]
-        y2 = rois_ref[n, 3]
+        n_total = pl.num_programs(0)
 
+        def window_geom(m, l):
+            """(y0, x0) window origin for RoI m at (static) level l, plus the
+            feature-coord RoI box. Deterministic in the scalar prefetch, so
+            start and wait sites reconstruct the identical DMA."""
+            hl, wl, _ = level_shapes[l]
+            win_h, win_w = wins[l]
+            scale = 1.0 / strides[l]
+            fx1 = rois_ref[m, 0] * scale
+            fy1 = rois_ref[m, 1] * scale
+            fw = jnp.maximum(rois_ref[m, 2] * scale - fx1, 1.0)
+            fh = jnp.maximum(rois_ref[m, 3] * scale - fy1, 1.0)
+            y0 = jnp.clip(jnp.floor(fy1).astype(jnp.int32) - 1, 0, hl - win_h)
+            x0 = jnp.clip(jnp.floor(fx1).astype(jnp.int32) - 1, 0, wl - win_w)
+            x0 = pl.multiple_of((x0 // 8) * 8, 8)
+            return fx1, fy1, fw, fh, y0, x0
+
+        def dma_for(m, slot, l):
+            win_h, win_w = wins[l]
+            _, _, _, _, y0, x0 = window_geom(m, l)
+            return pltpu.make_async_copy(
+                feat_refs[l].at[
+                    bidx_ref[m], pl.ds(y0, win_h), pl.ds(x0, win_w), :
+                ],
+                win_scratch.at[slot, pl.ds(0, win_h), pl.ds(0, win_w), :],
+                sems.at[slot],
+            )
+
+        def start_for(m, slot):
+            for l in range(num_levels):
+                @pl.when(lvl_ref[m] == l)
+                def _():
+                    dma_for(m, slot, l).start()
+
+        # warm-up: program 0 starts its own window's DMA
+        @pl.when(n == 0)
+        def _():
+            start_for(0, 0)
+
+        # prefetch the NEXT RoI's window into the other buffer
+        @pl.when(n + 1 < n_total)
+        def _():
+            start_for(n + 1, (n + 1) % 2)
+
+        slot = n % 2
         for l in range(num_levels):
             hl, wl, _ = level_shapes[l]
             wl_clamp = orig_wls[l]
             win_h, win_w = wins[l]
 
-            @pl.when(lvl == l)
+            @pl.when(lvl_ref[n] == l)
             def _():
-                scale = 1.0 / strides[l]
-                fx1 = x1 * scale
-                fy1 = y1 * scale
-                fw = jnp.maximum(x2 * scale - fx1, 1.0)
-                fh = jnp.maximum(y2 * scale - fy1, 1.0)
-                y0 = jnp.clip(
-                    jnp.floor(fy1).astype(jnp.int32) - 1, 0, hl - win_h
-                )
-                x0 = jnp.clip(
-                    jnp.floor(fx1).astype(jnp.int32) - 1, 0, wl - win_w
-                )
-                x0 = pl.multiple_of((x0 // 8) * 8, 8)
-                dma = pltpu.make_async_copy(
-                    feat_refs[l].at[
-                        b, pl.ds(y0, win_h), pl.ds(x0, win_w), :
-                    ],
-                    win_scratch.at[pl.ds(0, win_h), pl.ds(0, win_w), :],
-                    sem,
-                )
-                dma.start()
+                fx1, fy1, fw, fh, y0, x0 = window_geom(n, l)
                 wy = _interp_matrix(fy1, fh, y0, win_h, hl, pool, ratio)
                 wx = _interp_matrix(fx1, fw, x0, win_w, wl_clamp, pool, ratio)
-                dma.wait()
-                win = win_scratch[pl.ds(0, win_h), pl.ds(0, win_w), :]
+                dma_for(n, slot, l).wait()
+                win = win_scratch[slot, pl.ds(0, win_h), pl.ds(0, win_w), :]
                 win_f = win.astype(jnp.float32).reshape(win_h, win_w * c)
                 # HIGHEST precision: default MXU f32 matmul is single-pass
                 # bf16 (~1% error); interpolation weights need full f32.
@@ -221,8 +241,8 @@ def multilevel_roi_align_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((wh, ww, c), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, wh, ww, c), dtype),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
