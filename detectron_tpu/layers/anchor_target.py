@@ -36,12 +36,22 @@ class AnchorTargets(NamedTuple):
     num_pos: jnp.ndarray  # [B] float: positive count (loss normalizer)
 
 
-def _rank_select(eligible: jnp.ndarray, cap, key) -> jnp.ndarray:
+def _rank_select(eligible: jnp.ndarray, cap, key, max_cap: int = 0) -> jnp.ndarray:
     """Select up to ``cap`` (traced scalar ok) of the ``eligible`` entries
     uniformly at random; returns a bool mask. Static-shape equivalent of
-    ``npr.choice(inds, size=cap, replace=False)`` in the reference."""
+    ``npr.choice(inds, size=cap, replace=False)`` in the reference.
+
+    ``max_cap``: static upper bound on cap (e.g. the sample size). When
+    given, selection runs as a bounded ``top_k`` + scatter instead of a full
+    argsort — O(N log k) vs O(N log N), which matters at 200k anchors.
+    """
     n = eligible.shape[0]
     noise = jax.random.uniform(key, (n,))
+    if max_cap and max_cap < n:
+        score = jnp.where(eligible, noise, -1.0)
+        top_v, top_i = jax.lax.top_k(score, max_cap)
+        take = (jnp.arange(max_cap) < cap) & (top_v > -0.5)
+        return jnp.zeros((n,), bool).at[top_i].set(take)
     score = jnp.where(eligible, noise, 2.0)  # ineligible sorts last
     order = jnp.argsort(score)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
@@ -91,9 +101,11 @@ def anchor_target_single(
     if sample_size:
         kp, kn = jax.random.split(key)
         pos_cap = jnp.int32(sample_size * pos_fraction)
-        sel_pos = _rank_select(pos, jnp.minimum(pos_cap, jnp.sum(pos)), kp)
+        sel_pos = _rank_select(
+            pos, jnp.minimum(pos_cap, jnp.sum(pos)), kp, max_cap=sample_size
+        )
         neg_cap = sample_size - jnp.sum(sel_pos)
-        sel_neg = _rank_select(neg, neg_cap, kn)
+        sel_neg = _rank_select(neg, neg_cap, kn, max_cap=sample_size)
         cls_w = (sel_pos | sel_neg).astype(jnp.float32)
         pos_w = sel_pos.astype(jnp.float32)
     else:

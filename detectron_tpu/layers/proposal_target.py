@@ -61,9 +61,9 @@ def sample_rois_single(
 
     kf, kb = jax.random.split(key)
     fg_cap = jnp.int32(sample_size * positive_fraction)
-    sel_fg = _rank_select(fg, jnp.minimum(fg_cap, jnp.sum(fg)), kf)
+    sel_fg = _rank_select(fg, jnp.minimum(fg_cap, jnp.sum(fg)), kf, max_cap=sample_size)
     bg_cap = sample_size - jnp.sum(sel_fg)
-    sel_bg = _rank_select(bg, bg_cap, kb)
+    sel_bg = _rank_select(bg, bg_cap, kb, max_cap=sample_size)
 
     # compact the selected RoIs to the front S slots: rank selected first
     sel = sel_fg | sel_bg
