@@ -321,17 +321,23 @@ def faster_rcnn_train_forward(
     loss_dict.update(frcnn_box_losses(cls_logits, reg, tgt, cfg))
 
     if model.include_mask and gt_masks is not None:
-        mask_logits = model.apply(params, levels, tgt.rois, method=model.mask)
+        # the mask loss only sees fg RoIs (reference semantics), and the
+        # sampler compacts selected-fg to the FRONT slots — so the mask
+        # branch runs on just the fg capacity (batch*fraction), a 1/4-cost
+        # head pass instead of all sampled RoIs
+        cap = max(int(cfg.roi.batch_per_image * cfg.roi.positive_fraction), 1)
+        rois_m = tgt.rois[:, :cap]
+        mask_logits = model.apply(params, levels, rois_m, method=model.mask)
         mask_targets = crop_gt_masks_batched(
-            gt_masks, gt_boxes, tgt.rois, tgt.matched_idx,
+            gt_masks, gt_boxes, rois_m, tgt.matched_idx[:, :cap],
             resolution=cfg.mask.resolution,
         )
-        b, s = tgt.labels.shape
+        b, s = tgt.labels[:, :cap].shape
         loss_dict["loss_mask"] = losses.mask_bce_loss(
             mask_logits.reshape(b * s, *mask_logits.shape[2:]),
             mask_targets.reshape(b * s, *mask_targets.shape[2:]),
-            tgt.labels.reshape(-1),
-            tgt.box_weights.reshape(-1),
+            tgt.labels[:, :cap].reshape(-1),
+            tgt.box_weights[:, :cap].reshape(-1),
         )
     return loss_dict
 
