@@ -46,9 +46,10 @@ def base_config() -> ml_collections.ConfigDict:
     # RetinaNet (P3..P7): 3 octave scales x 3 ratios = 9 anchors / cell.
     cfg.anchors.retinanet_scales = (1.0, 1.2599210498948732, 1.5874010519681994)
     cfg.anchors.retinanet_base_scale = 4.0
-    # Legacy +1 pixel convention of the py-faster-rcnn lineage
-    # (reference: libs/boxes/cython_bbox.pyx uses w = x2 - x1 + 1).
-    cfg.anchors.legacy_plus_one = False
+    # NB the py-faster-rcnn legacy "+1" pixel convention (reference:
+    # libs/boxes/cython_bbox.pyx, w = x2 - x1 + 1) is supported at the op
+    # level via each op's `offset` parameter (unit-tested with offset=1);
+    # zoo configs use the modern offset=0 convention throughout.
 
     # -------------------------------------------------------------------- rpn
     cfg.rpn = ml_collections.ConfigDict()

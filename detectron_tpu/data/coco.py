@@ -93,6 +93,10 @@ class CocoDataset:
         )
         self.coco = load_coco_json(ann)
         self.image_dir = os.path.join(root, split)
+        self._index_by_id = {im["id"]: i for i, im in enumerate(self.coco.images)}
+
+    def index_of(self, image_id) -> int:
+        return self._index_by_id[image_id]
 
     def __len__(self):
         return len(self.coco.images)
@@ -112,11 +116,17 @@ class CocoDataset:
 
     def example(self, index: int) -> dict:
         info = self.coco.images[index]
-        anns = [
-            a
-            for a in self.coco.anns_by_image[info["id"]]
-            if not a.get("iscrowd", 0)
-        ]
+        all_anns = self.coco.anns_by_image[info["id"]]
+        anns = [a for a in all_anns if not a.get("iscrowd", 0)]
+        crowd = [a for a in all_anns if a.get("iscrowd", 0)]
+        crowd_boxes = np.asarray(
+            [[a["bbox"][0], a["bbox"][1], a["bbox"][0] + a["bbox"][2],
+              a["bbox"][1] + a["bbox"][3]] for a in crowd], np.float32,
+        ).reshape(-1, 4)
+        crowd_classes = np.asarray(
+            [self.coco.cat_id_to_contiguous[a["category_id"]] for a in crowd],
+            np.int32,
+        )
         boxes = np.zeros((len(anns), 4), np.float32)
         classes = np.zeros((len(anns),), np.int32)
         masks = None
@@ -136,6 +146,9 @@ class CocoDataset:
             "classes": classes,
             "masks": masks,
             "polygons": [a.get("segmentation") for a in anns],
+            # crowd regions: excluded from training, absorb detections in eval
+            "crowd_boxes": crowd_boxes,
+            "crowd_classes": crowd_classes,
             "image_id": info["id"],
             "orig_hw": (info["height"], info["width"]),
         }

@@ -61,6 +61,10 @@ class VocDataset:
         list_file = os.path.join(root, "ImageSets", "Main", f"{split}.txt")
         with open(list_file) as f:
             self.ids = [line.strip().split()[0] for line in f if line.strip()]
+        self._index_by_id = {x: i for i, x in enumerate(self.ids)}
+
+    def index_of(self, image_id) -> int:
+        return self._index_by_id[image_id]
 
     def __len__(self):
         return len(self.ids)
@@ -94,9 +98,12 @@ class VocDataset:
             "boxes": ann["boxes"][keep],
             "classes": ann["classes"][keep],
             "masks": None,
-            "difficult": ann["difficult"],
+            # aligned with the filtered boxes/classes above (all zeros when
+            # keep_difficult=False); full arrays are under all_*
+            "difficult": ann["difficult"][keep],
             "all_boxes": ann["boxes"],
             "all_classes": ann["classes"],
+            "all_difficult": ann["difficult"],
             "image_id": image_id,
             "orig_hw": ann["hw"],
         }

@@ -52,11 +52,13 @@ def sample_rois_single(
     cand_valid = jnp.concatenate([roi_valid, gt_valid], axis=0)
 
     iou = box_ops.bbox_overlaps(cand, gt_boxes, offset=offset)  # [P+G, G]
-    iou = jnp.where(gt_valid[None, :], iou, -1.0)
-    max_iou = jnp.max(iou, axis=1)
-    matched = jnp.argmax(iou, axis=1).astype(jnp.int32)
+    masked_iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    # overlap with padded gt counts as 0 (no overlap), not -1: images with
+    # zero valid gt must still yield background RoIs
+    max_iou = jnp.max(jnp.where(gt_valid[None, :], iou, 0.0), axis=1)
+    matched = jnp.argmax(masked_iou, axis=1).astype(jnp.int32)
 
-    fg = cand_valid & (max_iou >= positive_iou)
+    fg = cand_valid & (max_iou >= positive_iou) & jnp.any(gt_valid)
     bg = cand_valid & (max_iou < negative_iou_hi) & (max_iou >= negative_iou_lo)
 
     kf, kb = jax.random.split(key)

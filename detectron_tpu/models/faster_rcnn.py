@@ -57,10 +57,15 @@ def use_fused_roi_align(cfg) -> bool:
 
 
 def rpn_anchor_generator(cfg) -> AnchorGenerator:
+    scales = tuple(cfg.anchors.rpn_scales)
     return AnchorGenerator(
         strides=RPN_STRIDES,
         ratios=cfg.anchors.ratios,
-        base_scale=cfg.anchors.rpn_scales[0],
+        # multi-scale RPN configs: express extra scales as octaves of the
+        # first so anchors/cell == len(ratios) * len(rpn_scales), matching
+        # the head's output channel count in build_two_stage
+        octave_scales=tuple(s / scales[0] for s in scales),
+        base_scale=scales[0],
     )
 
 
@@ -114,8 +119,10 @@ class TwoStageDetector(nn.Module):
 
     def _pool(self, levels, rois, size, fused):
         if self.pool_type == "pool":
-            # RoIPool path (reference: libs/roi_pooling; zoo config 1's
-            # "RoI path" knob) — single-level max pooling on P2-equivalent
+            # RoIPool parity path (reference: libs/roi_pooling; zoo config
+            # 1's "RoI path" knob). Pools at every level then one-hot
+            # selects — 4x the gather work of the flat-table RoIAlign; fine
+            # for this rarely-used compatibility mode, not the default.
             from detectron_tpu.ops.roi_align import assign_fpn_levels, roi_pool
 
             # route each RoI to its level, pool there (level-wise max pool)
@@ -128,13 +135,13 @@ class TwoStageDetector(nn.Module):
             sel = jax.nn.one_hot(lvl, len(ROI_STRIDES), axis=0)  # [L, B, R]
             return jnp.sum(stacked * sel[..., None, None, None], axis=0)
         if fused:
-            from detectron_tpu.ops.roi_align_pallas import (
-                multilevel_roi_align_pallas,
-            )
+            # custom-vjp wrapper: Pallas forward, exact jnp-transpose backward
+            # (so the fused path is safe under jax.grad in training too)
+            from detectron_tpu.ops.roi_align_pallas import roi_align_fused
 
-            return multilevel_roi_align_pallas(
-                levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
-                output_size=size, sampling_ratio=self.sampling_ratio,
+            return roi_align_fused(
+                tuple(levels[: len(ROI_STRIDES)]), rois, ROI_STRIDES, size,
+                self.sampling_ratio,
             )
         return multilevel_roi_align(
             levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
@@ -298,6 +305,7 @@ def faster_rcnn_train_forward(
     anchors_all = np.concatenate(anchors_pl, axis=0)
     k_tgt, k_smp = jax.random.split(key)
 
+    fused = use_fused_roi_align(cfg)
     levels = model.apply(params, images, method=model.features)
     scores_pl, deltas_pl = model.apply(params, levels, method=model.rpn)
     loss_dict = rpn_losses(
@@ -317,7 +325,8 @@ def faster_rcnn_train_forward(
         negative_iou_lo=cfg.roi.negative_iou_lo,
         box_weights=cfg.roi.bbox_reg_weights,
     )
-    cls_logits, reg = model.apply(params, levels, tgt.rois, method=model.box)
+    cls_logits, reg = model.apply(params, levels, tgt.rois, method=model.box,
+                                  fused=fused)
     loss_dict.update(frcnn_box_losses(cls_logits, reg, tgt, cfg))
 
     if model.include_mask and gt_masks is not None:
@@ -327,7 +336,8 @@ def faster_rcnn_train_forward(
         # head pass instead of all sampled RoIs
         cap = max(int(cfg.roi.batch_per_image * cfg.roi.positive_fraction), 1)
         rois_m = tgt.rois[:, :cap]
-        mask_logits = model.apply(params, levels, rois_m, method=model.mask)
+        mask_logits = model.apply(params, levels, rois_m, method=model.mask,
+                                  fused=fused)
         mask_targets = crop_gt_masks_batched(
             gt_masks, gt_boxes, rois_m, tgt.matched_idx[:, :cap],
             resolution=cfg.mask.resolution,

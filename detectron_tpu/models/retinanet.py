@@ -85,6 +85,7 @@ class RetinaNet(nn.Module):
     backbone: str = "resnet50"
     frozen_stages: int = 1
     channels: int = 256
+    num_anchors: int = 9  # must match the anchor generator's anchors/cell
     prior_prob: float = 0.01
     dtype: Any = jnp.float32
 
@@ -98,8 +99,9 @@ class RetinaNet(nn.Module):
             channels=self.channels, levels="p3p7", dtype=self.dtype, name="fpn"
         )(feats)
         head = RetinaNetHead(
-            num_classes=self.num_classes, channels=self.channels,
-            prior_prob=self.prior_prob, dtype=self.dtype, name="head",
+            num_classes=self.num_classes, num_anchors=self.num_anchors,
+            channels=self.channels, prior_prob=self.prior_prob,
+            dtype=self.dtype, name="head",
         )
         return [head(p) for p in levels]
 
@@ -196,7 +198,7 @@ def retinanet_inference(outputs, anchors_per_level, image_hw, cfg):
             impl="pallas" if use_fused_nms(cfg) else "jnp",
         )
         return Detections(
-            boxes=boxes[idx],
+            boxes=jnp.where(keep_valid[:, None], boxes[idx], 0.0),
             scores=jnp.where(keep_valid, scores[idx], 0.0),
             classes=jnp.where(keep_valid, classes[idx], 0).astype(jnp.int32),
             valid=keep_valid,

@@ -46,6 +46,8 @@ class Detector:
                 backbone=cfg.model.backbone,
                 frozen_stages=cfg.model.frozen_stages,
                 channels=cfg.model.fpn_channels,
+                num_anchors=len(cfg.anchors.ratios)
+                * len(cfg.anchors.retinanet_scales),
                 prior_prob=cfg.retinanet.prior_prob,
                 dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
             )

@@ -59,9 +59,9 @@ def main():
     ds = get_dataset(cfg, cfg.data.val_split, train=False)
     loader = Loader(ds, cfg, train=False)
     gts, dts = [], []
-    seen = 0
-    limit = args.limit or len(ds)
-    for batch in loader:
+    seen_ids = set()  # loader order is nondeterministic (worker threads) and
+    limit = args.limit or len(ds)  # tails are padded by repetition: pair gt
+    for batch in loader:  # by image id and dedupe, never by arrival order
         ids = batch.pop("_image_id")
         orig_hw = batch.pop("_orig_hw")
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
@@ -73,8 +73,12 @@ def main():
         valid = np.asarray(dets.valid)
         masks_np = np.asarray(masks) if masks is not None else None
         for i in range(len(ids)):
-            if seen >= limit:
+            if len(seen_ids) >= limit:
                 break
+            image_id = ids[i].item() if hasattr(ids[i], "item") else ids[i]
+            if image_id in seen_ids:
+                continue  # tail-padding duplicate
+            seen_ids.add(image_id)
             # map from resized coords back to original image coords
             scale = batch["image_hw"][i][0] / orig_hw[i][0]
             v = valid[i]
@@ -95,12 +99,25 @@ def main():
                 )
                 d["masks"] = [RLE.encode(m) for m in full]
             dts.append(d)
-            ex = ds.example(seen)
+            ex = ds.example(ds.index_of(image_id))
+            # VOC: evaluate against ALL objects (difficult ones are matched
+            # but not counted by evaluate_voc), not the train-filtered set
+            g_boxes = ex.get("all_boxes", ex["boxes"])
+            g_classes = ex.get("all_classes", ex["classes"])
+            g_ignore = np.zeros(len(g_boxes), bool)
+            crowd_boxes = ex.get("crowd_boxes")
+            if crowd_boxes is not None and len(crowd_boxes):
+                # crowd regions absorb detections without counting (COCO rule)
+                g_boxes = np.concatenate([g_boxes, crowd_boxes])
+                g_classes = np.concatenate([g_classes, ex["crowd_classes"]])
+                g_ignore = np.concatenate(
+                    [g_ignore, np.ones(len(crowd_boxes), bool)]
+                )
             g = {
-                "boxes": ex["boxes"],
-                "classes": ex["classes"],
-                "ignore": None,
-                "difficult": ex.get("difficult"),
+                "boxes": g_boxes,
+                "classes": g_classes,
+                "ignore": g_ignore,
+                "difficult": ex.get("all_difficult", ex.get("difficult")),
                 "ignore_boxes": ex.get("ignore_boxes"),
             }
             if masks_np is not None and ex.get("polygons") is not None:
@@ -109,10 +126,12 @@ def main():
                 g["masks"] = [
                     RLE.encode(ds.rasterize_full(p, hw_i))
                     for p in ex["polygons"]
+                ] + [
+                    RLE.encode(np.zeros(hw_i, bool))
+                    for _ in range(len(g_boxes) - len(ex["polygons"]))
                 ]
             gts.append(g)
-            seen += 1
-        if seen >= limit:
+        if len(seen_ids) >= limit:
             break
 
     if cfg.data.dataset == "voc":

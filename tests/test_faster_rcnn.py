@@ -159,3 +159,38 @@ def test_roi_pool_path_runs(cfg):
     dets, _ = frcnn.faster_rcnn_eval_forward(model, params, images, hw, c)
     assert dets.boxes.shape[0] == 1
     assert bool(jnp.all(jnp.isfinite(dets.boxes)))
+
+
+def test_sample_rois_zero_gt_yields_background():
+    """Images with no valid gt still produce a full background sample
+    (regression: padded-gt IoU of -1 used to fail the bg lower bound)."""
+    rois = jnp.asarray(np.random.RandomState(0).uniform(0, 100, (20, 4)).astype(np.float32))
+    rois = rois.at[:, 2:].set(rois[:, :2] + 30.0)
+    out = sample_rois_single(
+        rois, jnp.ones((20,), bool), jnp.zeros((4, 4)),
+        jnp.zeros((4,), jnp.int32), jax.random.key(0), sample_size=16,
+    )
+    assert int(out.num_fg) == 0
+    assert int(np.asarray(out.weights).sum()) == 16  # all background
+    assert np.all(np.asarray(out.labels) == 0)
+
+
+def test_multiscale_rpn_config_consistent(cfg):
+    """len(rpn_scales) > 1: anchors/cell matches the RPN head output size
+    (regression: generator used only rpn_scales[0])."""
+    import ml_collections
+
+    c = ml_collections.ConfigDict(cfg.to_dict())
+    c.anchors.rpn_scales = (8.0, 16.0)
+    gen = frcnn.rpn_anchor_generator(c)
+    assert gen.num_anchors_per_cell == len(c.anchors.ratios) * 2
+    model = frcnn.build_two_stage(c, include_mask=False)
+    assert model.num_anchors == gen.num_anchors_per_cell
+    # and the anchor count matches the rpn output length
+    anchors = gen.grid_anchors((128, 128))
+    images = jnp.ones((1, 128, 128, 3))
+    rois = jnp.zeros((1, 4, 4)).at[:, :, 2:].set(32.0)
+    params = jax.jit(model.init)(jax.random.key(0), images, rois)
+    levels = model.apply(params, images, method=model.features)
+    scores, _ = model.apply(params, levels, method=model.rpn)
+    assert sum(s.shape[1] for s in scores) == sum(a.shape[0] for a in anchors)

@@ -153,3 +153,27 @@ def test_retinanet_inference_empty_when_no_confident(retinanet_setup):
     quiet = [(jnp.full_like(c, -20.0), jnp.zeros_like(b)) for c, b in outs]
     dets = retina.retinanet_inference(quiet, anchors_pl, jnp.array([[128.0, 128.0]]), cfg)
     assert int(np.asarray(dets.valid).sum()) == 0
+
+
+def test_retinanet_anchor_count_follows_config():
+    """Regression: head num_anchors was hardcoded to 9."""
+    from detectron_tpu.models.zoo import build_detector
+
+    cfg = get_config()
+    cfg.model.name = "retinanet"
+    cfg.model.num_classes = 3
+    cfg.model.fpn_channels = 32
+    cfg.anchors.ratios = (1.0,)
+    cfg.anchors.retinanet_scales = (1.0,)
+    cfg.data.image_size = (128, 128)
+    det = build_detector(cfg)
+    assert det.module.num_anchors == 1
+    params = det.init(jax.random.key(0), (128, 128))
+    batch = {
+        "image": jnp.ones((1, 128, 128, 3)),
+        "image_hw": jnp.array([[128.0, 128.0]]),
+        "gt_boxes": jnp.zeros((1, 4, 4)).at[0, 0].set(jnp.array([10.0, 10.0, 80.0, 80.0])),
+        "gt_classes": jnp.zeros((1, 4), jnp.int32).at[0, 0].set(1),
+    }
+    total, ld = det.loss_fn(params, batch, jax.random.key(1))
+    assert np.isfinite(float(total))

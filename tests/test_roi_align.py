@@ -5,7 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from detectron_tpu.ops import roi_align as ra
+import detectron_tpu.ops.roi_align as ra  # NB: detectron_tpu.ops.roi_align
+# the function of the same name is re-exported at package level, so the
+# submodule must be imported by its full dotted path
 
 
 def roi_align_oracle(feat, rois, stride, P, S, aligned=False):
