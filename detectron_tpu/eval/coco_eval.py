@@ -160,6 +160,12 @@ def evaluate(
     area_ranges = area_ranges or AREA_RANGES
     results = {}
     per_class_ap = {}
+
+    def _nanmean(x):
+        """nanmean that treats all-NaN (class/bucket absent) as NaN silently."""
+        x = np.asarray(x, np.float64)
+        ok = ~np.isnan(x)
+        return float(x[ok].mean()) if ok.any() else float("nan")
     for range_name, (lo, hi) in area_ranges.items():
         ap_per_class = []
         ar_per_class = []
@@ -205,7 +211,7 @@ def evaluate(
                 ap_per_class.append(ap)
                 ar_per_class.append(ar)
                 if range_name == "all":
-                    per_class_ap[cls] = float(np.nanmean(ap))
+                    per_class_ap[cls] = float(_nanmean(ap))
         if ap_per_class:
             aps = np.stack(ap_per_class)
             ars = np.stack(ar_per_class)
@@ -213,12 +219,12 @@ def evaluate(
             aps = np.full((1, len(IOU_THRESHOLDS)), np.nan)
             ars = aps
         if range_name == "all":
-            results["AP"] = float(np.nanmean(aps))
-            results["AP50"] = float(np.nanmean(aps[:, 0]))
-            results["AP75"] = float(np.nanmean(aps[:, 5]))
-            results["AR"] = float(np.nanmean(ars))
+            results["AP"] = float(_nanmean(aps))
+            results["AP50"] = float(_nanmean(aps[:, 0]))
+            results["AP75"] = float(_nanmean(aps[:, 5]))
+            results["AR"] = float(_nanmean(ars))
             results["per_class"] = per_class_ap
         else:
             key = {"small": "APs", "medium": "APm", "large": "APl"}[range_name]
-            results[key] = float(np.nanmean(aps))
+            results[key] = float(_nanmean(aps))
     return results

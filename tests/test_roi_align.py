@@ -156,7 +156,7 @@ def test_ps_roi_pool_position_sensitivity():
     for g in range(p * p):
         feat[..., g * k : (g + 1) * k] = g
     rois = jnp.asarray([[[0.0, 0.0, 47.0, 47.0]]])
-    out = ra_out = ps_roi_pool(jnp.asarray(feat), rois, stride=4, output_size=p)
+    out = ps_roi_pool(jnp.asarray(feat), rois, stride=4, output_size=p)
     assert out.shape == (1, 1, p, p, k)
     for bi in range(p):
         for bj in range(p):
