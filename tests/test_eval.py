@@ -140,3 +140,81 @@ def test_segm_eval_with_rle_masks():
     d = [det([[0, 0, 10, 10]], [0.9], [1], masks=[RLE.encode(m_gt)])]
     r = evaluate(g, d, num_classes=2, iou_type="segm")
     assert abs(r["AP"] - 1.0) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# Vectorized matcher vs the scalar pycocotools-style oracle loop
+# --------------------------------------------------------------------------
+
+def _match_image_oracle(det_scores, ious, gt_ignore, iou_thresholds, max_dets):
+    """The original scalar triple loop (pycocotools evaluateImg semantics),
+    kept verbatim as the oracle for the vectorized coco_eval._match_image."""
+    gt_ignore = np.asarray(gt_ignore, bool)
+    d = min(len(det_scores), max_dets)
+    order = np.argsort(-det_scores, kind="stable")[:d]
+    g_order = np.argsort(gt_ignore, kind="stable")  # real gts first
+    t = len(iou_thresholds)
+    g = ious.shape[1]
+    matched = np.zeros((t, d), bool)
+    ignored = np.zeros((t, d), bool)
+    gt_used = np.zeros((t, g), bool)
+    for ti, thr in enumerate(iou_thresholds):
+        for di, dd in enumerate(order):
+            best = min(thr, 1.0 - 1e-10)
+            m = -1
+            for gi in g_order:
+                if gt_used[ti, gi] and not gt_ignore[gi]:
+                    continue
+                if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
+                    break
+                if ious[dd, gi] < best:
+                    continue
+                best = ious[dd, gi]
+                m = gi
+            if m == -1:
+                continue
+            if gt_ignore[m]:
+                ignored[ti, di] = True
+            else:
+                matched[ti, di] = True
+                gt_used[ti, m] = True
+    n_valid = int((~gt_ignore).sum())
+    return matched, ignored, order, n_valid
+
+
+def test_vectorized_matcher_agrees_with_oracle():
+    from detectron_tpu.eval.coco_eval import IOU_THRESHOLDS, _match_image
+
+    rng = np.random.RandomState(0)
+    for trial in range(200):
+        n_det = rng.randint(0, 12)
+        n_gt = rng.randint(0, 10)
+        scores = rng.uniform(size=n_det)
+        # quantized IoUs force plenty of exact ties to exercise the tie rule
+        ious = np.round(rng.uniform(size=(n_det, n_gt)) * 8) / 8.0
+        ignore = rng.uniform(size=n_gt) < 0.3
+        max_dets = rng.choice([3, 100])
+        got = _match_image(scores, ious, ignore, IOU_THRESHOLDS, max_dets)
+        want = _match_image_oracle(scores, ious, ignore, IOU_THRESHOLDS, max_dets)
+        for a, b, name in zip(got[:3], want[:3], ["matched", "ignored", "order"]):
+            assert np.array_equal(a, b), (trial, name, a, b)
+        assert got[3] == want[3]
+
+
+def test_matcher_throughput():
+    """The VERDICT bar: >=100 images/s/class on realistic per-image sizes."""
+    import time
+
+    from detectron_tpu.eval.coco_eval import IOU_THRESHOLDS, _match_image
+
+    rng = np.random.RandomState(1)
+    cases = [
+        (rng.uniform(size=20), rng.uniform(size=(20, 8)),
+         rng.uniform(size=8) < 0.2)
+        for _ in range(300)
+    ]
+    t0 = time.perf_counter()
+    for scores, ious, ignore in cases:
+        _match_image(scores, ious, ignore, IOU_THRESHOLDS, 100)
+    dt = time.perf_counter() - t0
+    assert 300 / dt > 100, f"matcher too slow: {300 / dt:.0f} images/s/class"
