@@ -28,6 +28,10 @@ def base_config() -> ml_collections.ConfigDict:
     # normalization: frozen BN only (the reference's sole mode — affine
     # folded from pretrained stats; trainable-norm variants are future work)
     cfg.model.norm = "frozen_bn"
+    # pretrained backbone init: path to a torchvision-style ResNet .pth
+    # state dict (the reference always fine-tunes from these; reference:
+    # load_pretrained in libs/nets/resnet.py). "" = random init.
+    cfg.model.weights = ""
     cfg.model.dtype = "float32"  # compute dtype: float32 | bfloat16
     # Pallas kernels on the inference path, per op: auto = when on TPU;
     # on/off force. Measured on v5e @1024^2 bs=2 bf16 (full Mask R-CNN):
@@ -153,6 +157,12 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.parallel = ml_collections.ConfigDict()
     cfg.parallel.data_axis = "data"
     cfg.parallel.num_devices = 0  # 0 = all visible
+    # multi-host (SURVEY.md §5.8): set coordinator_address (host:port) plus
+    # num_processes/process_id on every host; train.py then calls
+    # jax.distributed.initialize and feeds each host its disjoint data shard.
+    cfg.parallel.coordinator_address = ""
+    cfg.parallel.num_processes = 0
+    cfg.parallel.process_id = -1
 
     # ------------------------------------------------------------------- misc
     cfg.output_dir = "/tmp/detectron_tpu"

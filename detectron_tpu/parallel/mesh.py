@@ -59,9 +59,21 @@ def shardings(mesh: Mesh, axis: str = "data"):
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch with its leading axis sharded over the mesh."""
+    """Device-put a host batch with its leading axis sharded over the mesh.
+
+    Single-process: a plain device_put with the batch sharding. Multi-host:
+    each host holds only its slice of the global batch, so the global array
+    is assembled from per-process local shards (the leading dim of the
+    result is local_batch * process_count)."""
     _, data_sh = shardings(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, data_sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, data_sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            data_sh, np.asarray(x)
+        ),
+        batch,
+    )
 
 
 def make_train_step(detector, tx, mesh: Mesh, axis: str = "data", donate: bool = True):

@@ -94,6 +94,22 @@ def load_resnet_backbone(params: dict, state_dict: dict,
     return traverse_util.unflatten_dict(flat)
 
 
+def maybe_load_pretrained(cfg, params: dict) -> dict:
+    """Driver entry point: if ``cfg.model.weights`` names a torch ``.pth``
+    (or numpy ``.npz``) ResNet state dict, return ``params`` with the
+    backbone subtree replaced; otherwise return ``params`` unchanged.
+    Wired into train.py / eval.py (reference: the unconditional
+    load_pretrained fine-tune init in libs/nets/resnet.py + train.py)."""
+    path = cfg.model.get("weights", "")
+    if not path:
+        return params
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        sd = load_pth(path)
+    return load_resnet_backbone(params, sd)
+
+
 def load_pth(path: str) -> dict:
     """Load a .pth/.pt state dict (handles 'state_dict'/'model' wrappers)."""
     import torch

@@ -46,6 +46,11 @@ def main():
     cfg = get_config(args.config, args.cfg)
     det = build_detector(cfg)
     params = det.init(jax.random.key(0))
+    if cfg.model.weights:
+        from detectron_tpu.utils.torch_weights import maybe_load_pretrained
+
+        params = maybe_load_pretrained(cfg, params)
+        print(f"initialized backbone from {cfg.model.weights}")
     if not args.no_restore:
         state, _, _ = create_train_state(cfg, params)
         mgr = ckpt.make_manager(cfg.output_dir)

@@ -165,3 +165,40 @@ def test_orientation_buckets(tiny_coco):
     shapes = {tuple(b["image"].shape[1:3])
               for b in Loader(ds, cfg, train=False, num_workers=1)}
     assert shapes == {(96, 128), (128, 96)}
+
+
+def test_multihost_loader_shards_are_disjoint(tiny_coco):
+    """Each process's Loader slice is disjoint; the union covers the dataset
+    (multi-host data parallelism, SURVEY.md §5.8 — simulated by running the
+    per-host loaders of a 2-process job in one test)."""
+    ds = CocoDataset(tiny_coco, "val")
+    cfg = get_config()
+    cfg.data.image_size = (128, 128)
+    cfg.data.short_side = 100
+    cfg.data.max_size = 128
+    cfg.train.batch_size = 2  # global; 1 per host
+    cfg.train.max_gt_boxes = 5
+
+    # eval mode: strided split, terminating
+    ids = []
+    for rank in range(2):
+        got = set()
+        for b in Loader(ds, cfg, train=False, num_workers=1,
+                        process_shard=(rank, 2)):
+            assert b["image"].shape[0] == 1  # local batch = global/2
+            got.update(int(i) for i in b["_image_id"])
+        ids.append(got)
+    assert ids[0] & ids[1] == set()
+    assert ids[0] | ids[1] == {0, 1, 2}
+
+    # train mode: identical seeded permutation, per-host stride; the first
+    # epoch's examples across hosts tile the dataset exactly
+    seen = []
+    for rank in range(2):
+        it = iter(Loader(ds, cfg, train=True, seed=3, num_workers=1,
+                         process_shard=(rank, 2)))
+        n_epoch = (len(ds) + (1 - rank)) // 2  # host0: 2 of 3, host1: 1
+        got = [int(next(it)["_image_id"][0]) for _ in range(n_epoch)]
+        seen.append(set(got))
+    assert seen[0] & seen[1] == set()
+    assert seen[0] | seen[1] == {0, 1, 2}

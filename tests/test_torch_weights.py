@@ -138,3 +138,33 @@ def test_activation_parity_c2_to_c5():
         assert ours.shape == ref.shape, name
         err = np.abs(ours - ref).max() / max(np.abs(ref).max(), 1e-6)
         assert err < 2e-3, (name, err)
+
+
+def test_maybe_load_pretrained_driver_wiring(tmp_path):
+    """cfg.model.weights -> backbone subtree replaced (train.py/eval.py path),
+    for both .pth and .npz state dicts; "" is a no-op."""
+    from detectron_tpu.config import get_config
+    from detectron_tpu.utils.torch_weights import maybe_load_pretrained
+
+    tm = TorchResNet50()
+    pth = tmp_path / "r50.pth"
+    torch.save(tm.state_dict(), str(pth))
+    npz = tmp_path / "r50.npz"
+    np.savez(npz, **{k: v.numpy() for k, v in tm.state_dict().items()})
+
+    fm = ResNet(depth="resnet50")
+    bb = fm.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    head = np.ones((4, 4), np.float32)
+    params = {"params": {"backbone": bb["params"], "head": {"w": head}}}
+
+    cfg = get_config()
+    assert maybe_load_pretrained(cfg, params) is params  # weights="" no-op
+
+    want = tm.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    for path in (pth, npz):
+        cfg.model.weights = str(path)
+        out = maybe_load_pretrained(cfg, params)
+        got = np.asarray(out["params"]["backbone"]["conv1"]["kernel"])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # non-backbone params untouched
+        np.testing.assert_array_equal(out["params"]["head"]["w"], head)

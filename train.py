@@ -29,24 +29,29 @@ def parse_args():
     return ap.parse_args()
 
 
-def batch_iterator(cfg):
-    """Yields fixed-shape numpy batch dicts (synthetic or real dataset)."""
+def batch_iterator(cfg, process_shard=(0, 1)):
+    """Yields fixed-shape numpy batch dicts (synthetic or real dataset).
+    Each host yields its ``batch_size / process_count`` slice of the global
+    batch (multi-host data parallelism, SURVEY.md §5.8)."""
     import numpy as np
 
+    pidx, pcount = process_shard
     if cfg.data.dataset == "synthetic":
         from detectron_tpu.data.synthetic import make_batch
 
-        rng = np.random.RandomState(cfg.train.seed)
+        assert cfg.train.batch_size % pcount == 0
+        rng = np.random.RandomState(cfg.train.seed * 1000 + pidx)
         while True:
             yield make_batch(
-                rng, cfg.train.batch_size, cfg.data.image_size,
+                rng, cfg.train.batch_size // pcount, cfg.data.image_size,
                 cfg.model.num_classes, max_gt=cfg.train.max_gt_boxes,
             )
     else:
         from detectron_tpu.data.loader import Loader, get_dataset
 
         ds = get_dataset(cfg, cfg.data.train_split, train=True)
-        yield from Loader(ds, cfg, train=True, seed=cfg.train.seed)
+        yield from Loader(ds, cfg, train=True, seed=cfg.train.seed,
+                          process_shard=process_shard)
 
 
 def main():
@@ -56,20 +61,33 @@ def main():
 
     from detectron_tpu.config import get_config
     from detectron_tpu.models.zoo import build_detector
-    from detectron_tpu.parallel import make_mesh, make_train_step, shard_batch
+    from detectron_tpu.parallel import (
+        initialize_distributed, make_mesh, make_train_step, shard_batch,
+    )
     from detectron_tpu.train import checkpoint as ckpt
     from detectron_tpu.train.state import create_train_state
     from detectron_tpu.utils import Timer
     from detectron_tpu.utils.metrics import MetricsWriter
+    from detectron_tpu.utils.torch_weights import maybe_load_pretrained
 
     cfg = get_config(args.config, args.cfg)
+    # multi-host wiring must happen before any device use
+    pidx, pcount = initialize_distributed(
+        cfg.parallel.coordinator_address or None,
+        cfg.parallel.num_processes or None,
+        cfg.parallel.process_id if cfg.parallel.process_id >= 0 else None,
+    )
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
     print(f"model={cfg.model.name} backbone={cfg.model.backbone} "
-          f"dataset={cfg.data.dataset} devices={jax.device_count()}")
+          f"dataset={cfg.data.dataset} devices={jax.device_count()} "
+          f"process={pidx}/{pcount}")
 
     det = build_detector(cfg)
     params = det.init(jax.random.key(cfg.train.seed))
+    params = maybe_load_pretrained(cfg, params)
+    if cfg.model.weights:
+        print(f"initialized backbone from {cfg.model.weights}")
     state, tx, schedule = create_train_state(cfg, params)
 
     mgr = ckpt.make_manager(cfg.output_dir)
@@ -83,7 +101,7 @@ def main():
 
     timer = Timer()
     writer = MetricsWriter(cfg.output_dir)
-    data_iter = batch_iterator(cfg)
+    data_iter = batch_iterator(cfg, process_shard=(pidx, pcount))
     start = int(state.step)
     t_log = time.perf_counter()
     for step in range(start, cfg.train.max_steps):
