@@ -141,6 +141,13 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.data.train_split = "train2017"
     cfg.data.val_split = "val2017"
     cfg.data.short_side = 800
+    # scale-jitter / multi-scale training (reference: TRAIN.SCALES list in
+    # libs/configs + blob resize in libs/boxes/blob.py; SURVEY.md §1 L4
+    # "flip, scale jitter"): per-example random choice of the short side at
+    # train time. Empty = no jitter (always ``short_side``). The padded
+    # canvas stays the fixed ``image_size``, so jitter adds ZERO compiled
+    # programs — only the valid region inside the canvas varies.
+    cfg.data.train_scales = ()
     cfg.data.max_size = 1333
     cfg.data.pad_stride = 128  # pad H,W to a multiple (covers P7 stride)
     cfg.data.hflip_prob = 0.5

@@ -149,9 +149,30 @@ class CocoDataset:
             # crowd regions: excluded from training, absorb detections in eval
             "crowd_boxes": crowd_boxes,
             "crowd_classes": crowd_classes,
+            "crowd_segmentations": [a.get("segmentation") for a in crowd],
             "image_id": info["id"],
             "orig_hw": (info["height"], info["width"]),
         }
+
+    @staticmethod
+    def segmentation_to_rle(seg, hw) -> "RLE":
+        """Any COCO segmentation -> RLE in full-image coords: polygon lists
+        are rasterized; crowd RLEs (uncompressed count lists or compressed
+        LEB128-style strings) are decoded directly by the native codec —
+        this is what makes the COCO crowd-absorb rule real for *segm* eval
+        (reference: pycocotools annToRLE; SURVEY.md §2.2 Evaluation)."""
+        from detectron_tpu.native import RLE
+
+        h, w = int(hw[0]), int(hw[1])
+        if isinstance(seg, dict):
+            sh, sw = (int(v) for v in seg.get("size", (h, w)))
+            counts = seg["counts"]
+            if isinstance(counts, str):
+                return RLE.from_string(counts, sh, sw)
+            return RLE(sh, sw, np.asarray(counts, np.uint32))
+        if isinstance(seg, list) and seg:
+            return RLE.encode(CocoDataset.rasterize_full(seg, hw))
+        return RLE.encode(np.zeros((h, w), bool))
 
     @staticmethod
     def rasterize_full(polygons, hw) -> np.ndarray:

@@ -91,9 +91,13 @@ def preprocess_example(
     frame rasters and therefore flip-invariant except mirroring: handled
     here.
     """
-    image, scale = resize_shortest_side(
-        image, cfg.data.short_side, cfg.data.max_size
-    )
+    short_side = cfg.data.short_side
+    train_scales = tuple(cfg.data.get("train_scales", ()) or ())
+    if train and rng is not None and train_scales:
+        # scale jitter (reference TRAIN.SCALES): uniform choice per example;
+        # the canvas is unchanged so the compiled program count is too.
+        short_side = int(train_scales[rng.randint(len(train_scales))])
+    image, scale = resize_shortest_side(image, short_side, cfg.data.max_size)
     boxes = boxes.astype(np.float32) * scale
     if train and rng is not None and rng.uniform() < cfg.data.hflip_prob:
         image, boxes = hflip(image, boxes)

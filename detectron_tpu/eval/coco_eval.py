@@ -48,7 +48,9 @@ def box_iou_matrix(a: np.ndarray, b: np.ndarray, crowd: np.ndarray | None = None
 def mask_iou_matrix(a: list, b: list, crowd: np.ndarray | None = None):
     """IoU between two lists of masks: dense bool [H,W] arrays OR
     detectron_tpu.native.RLE objects (dispatched to the C++ codec)."""
-    if len(a) and len(b) and hasattr(a[0], "counts"):
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float64)
+    if hasattr(a[0], "counts"):
         from detectron_tpu.native import rle_iou
 
         return rle_iou(a, b, iscrowd=crowd)

@@ -126,14 +126,16 @@ def main():
                 "ignore_boxes": ex.get("ignore_boxes"),
             }
             if masks_np is not None and ex.get("polygons") is not None:
-                from detectron_tpu.native import RLE
-
+                # real gts first, then crowd regions as their actual RLE /
+                # polygon rasters so the COCO crowd-absorb rule applies to
+                # segm eval too (intersection/det-area via each gt's ignore
+                # flag set above; reference: pycocotools iscrowd IoU)
                 g["masks"] = [
-                    RLE.encode(ds.rasterize_full(p, hw_i))
-                    for p in ex["polygons"]
+                    ds.segmentation_to_rle(p, hw_i) for p in ex["polygons"]
                 ] + [
-                    RLE.encode(np.zeros(hw_i, bool))
-                    for _ in range(len(g_boxes) - len(ex["polygons"]))
+                    ds.segmentation_to_rle(s, hw_i)
+                    for s in ex.get("crowd_segmentations", [])[
+                        : len(g_boxes) - len(ex["polygons"])]
                 ]
             gts.append(g)
         if len(seen_ids) >= limit:

@@ -49,6 +49,42 @@ def test_preprocess_example_static_shapes():
     np.testing.assert_allclose(out["image_hw"], [round(100 * s), 250])
 
 
+def test_scale_jitter_multi_scale_training():
+    """train_scales jitters the resized content per example while the padded
+    canvas (and therefore the compiled-program count) stays fixed
+    (reference: TRAIN.SCALES multi-scale training; SURVEY.md §1 L4)."""
+    cfg = get_config()
+    cfg.data.image_size = (256, 256)
+    cfg.data.short_side = 200
+    cfg.data.train_scales = (100, 150, 200)
+    cfg.data.max_size = 256
+    cfg.data.hflip_prob = 0.0
+    cfg.train.max_gt_boxes = 10
+    img = np.full((100, 150, 3), 90, np.uint8)
+    boxes = np.array([[10.0, 10.0, 50.0, 60.0]], np.float32)
+
+    rng = np.random.RandomState(0)
+    hw, canvas = set(), set()
+    for _ in range(24):
+        out = T.preprocess_example(img, boxes, np.array([3]), cfg,
+                                   rng=rng, train=True)
+        hw.add(tuple(int(v) for v in out["image_hw"]))
+        canvas.add(out["image"].shape)
+        # boxes scale with the image: box height / image height is invariant
+        ih = out["image_hw"][0]
+        np.testing.assert_allclose(
+            (out["gt_boxes"][0, 3] - out["gt_boxes"][0, 1]) / ih,
+            50.0 / 100.0, rtol=1e-2)
+    assert canvas == {(256, 256, 3)}  # one compiled program
+    assert len(hw) == 3  # all three scales drawn
+    assert (100, 150) in hw and (150, 225) in hw
+
+    # eval path ignores train_scales
+    out = T.preprocess_example(img, boxes, np.array([3]), cfg,
+                               rng=rng, train=False)
+    assert tuple(int(v) for v in out["image_hw"]) == (171, 256)  # max_size cap
+
+
 def test_polygon_rasterization():
     # square polygon covering left half of its gt box
     box = [0.0, 0.0, 20.0, 20.0]
