@@ -1,15 +1,19 @@
-"""Benchmark: Mask R-CNN R-50-FPN COCO-resolution inference throughput.
+"""Benchmark: Mask R-CNN R-50-FPN COCO-resolution throughput (infer + train).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "train_img_s_chip": N, "train_step_ms": N}
 
 Baseline (BASELINE.md): the north-star compares against A100 images/sec/chip
 for Mask R-CNN R-50-FPN COCO inference. The reference repo's own numbers are
 unavailable (empty mount, BASELINE.json.published = {}); we use 45 img/s as
 the A100 orientation figure (Detectron2 Mask R-CNN R50-FPN ~0.022 s/im on
-A100-class hardware). Target: vs_baseline >= 2.0.
+A100-class hardware). Target: vs_baseline >= 2.0. The train metric's A100
+orientation is ~20 train img/s/GPU (Detectron2 R50-FPN 1x ~0.4 s/iter at
+bs=16 over 8 GPUs, V100; A100 ~1.6x that).
 
-Run: python bench.py [--size 1024] [--batch 8] [--dtype bfloat16] [--iters 20]
+Run: python bench.py [--size 1024] [--batch 8] [--dtype bfloat16]
+                     [--iters 20] [--mode both|infer|train] [--model ...]
 """
 
 from __future__ import annotations
@@ -21,15 +25,21 @@ import time
 import numpy as np
 
 A100_BASELINE_IMG_S = 45.0
+A100_BASELINE_TRAIN_IMG_S = 20.0
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--train-batch", type=int, default=0,
+                    help="train bench batch (default: same as --batch)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--train-iters", type=int, default=8)
     ap.add_argument("--model", default="mask_rcnn")
+    ap.add_argument("--mode", default="both",
+                    choices=("both", "infer", "train"))
     args = ap.parse_args()
 
     import jax
@@ -39,6 +49,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
+    from jax import lax
 
     from detectron_tpu.config import get_config
     from detectron_tpu.data.synthetic import make_batch
@@ -50,56 +61,102 @@ def main():
     h = w = args.size
     det = build_detector(cfg)
     params = det.init(jax.random.key(0), (h, w))
-    if args.dtype == "bfloat16":
-        # keep params fp32 (master copy); compute dtype handles casting
-        pass
-    batch = jax.tree.map(
+    # params stay fp32 (master copy); cfg.model.dtype casts compute to bf16
+    train_batch_size = args.train_batch or args.batch
+    full_batch = jax.tree.map(
         jnp.asarray,
-        make_batch(np.random.RandomState(0), args.batch, (h, w),
-                   cfg.model.num_classes),
+        make_batch(np.random.RandomState(0), max(args.batch, train_batch_size),
+                   (h, w), cfg.model.num_classes),
     )
-    for k in ("gt_boxes", "gt_classes", "gt_masks"):
-        batch.pop(k)
 
     # Timing methodology: on this image the TPU is reached through a relay
     # whose block_until_ready returns early, so host-side loops mis-time.
-    # Instead we chain `iters` full forwards inside ONE compiled fori_loop
+    # Instead we chain `iters` full programs inside ONE compiled fori_loop
     # (inputs perturbed per-iteration to defeat CSE/hoisting) and fetch a
     # scalar; device time = total - scalar roundtrip. Verified linear in
     # `iters`.
-    from jax import lax
+    out = {}
 
-    def one(i, p, b):
-        b = dict(b)
-        b["image"] = b["image"] + i.astype(jnp.float32) * 1e-6
-        dets, _ = det.predict_fn(p, b)
-        return dets.scores.sum()
+    if args.mode in ("both", "infer"):
+        batch = {k: v[: args.batch] for k, v in full_batch.items()
+                 if k not in ("gt_boxes", "gt_classes", "gt_masks")}
 
-    @jax.jit
-    def bench_n(p, b, n):
-        return lax.fori_loop(0, n, lambda i, acc: acc + one(i, p, b), 0.0)
+        def one(i, p, b):
+            b = dict(b)
+            b["image"] = b["image"] + i.astype(jnp.float32) * 1e-6
+            dets, _ = det.predict_fn(p, b)
+            return dets.scores.sum()
 
-    float(bench_n(params, batch, 1))  # compile + warm
-    t0 = time.perf_counter()
-    float(bench_n(params, batch, 0))
-    roundtrip = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(bench_n(params, batch, args.iters))
-    dt = max(time.perf_counter() - t0 - roundtrip, 1e-9)
-    img_s = args.batch * args.iters / dt
+        @jax.jit
+        def bench_n(p, b, n):
+            return lax.fori_loop(0, n, lambda i, acc: acc + one(i, p, b), 0.0)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.model} R-50-FPN inference images/sec/chip "
-                          f"({h}x{w}, bs={args.batch}, {args.dtype}, "
-                          f"{jax.devices()[0].platform})",
-                "value": round(img_s, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
-            }
+        float(bench_n(params, batch, 1))  # compile + warm
+        t0 = time.perf_counter()
+        float(bench_n(params, batch, 0))
+        roundtrip = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(bench_n(params, batch, args.iters))
+        dt = max(time.perf_counter() - t0 - roundtrip, 1e-9)
+        img_s = args.batch * args.iters / dt
+        out.update(
+            metric=f"{args.model} R-50-FPN inference images/sec/chip "
+                   f"({h}x{w}, bs={args.batch}, {args.dtype}, "
+                   f"{jax.devices()[0].platform})",
+            value=round(img_s, 2),
+            unit="images/sec",
+            vs_baseline=round(img_s / A100_BASELINE_IMG_S, 3),
         )
-    )
+
+    if args.mode in ("both", "train"):
+        # full fwd+bwd+SGD step chained through the TrainState carry
+        # (VERDICT r1 item 4: the train path must be benched, not estimated)
+        from detectron_tpu.train.state import apply_gradients, create_train_state
+
+        tbatch = {k: v[:train_batch_size] for k, v in full_batch.items()}
+        state, tx, _ = create_train_state(cfg, params)
+        key = jax.random.key(42)
+
+        def step(i, st):
+            b = dict(tbatch)
+            b["image"] = b["image"] + i.astype(jnp.float32) * 1e-6
+            k = jax.random.fold_in(key, i)
+            (_, _), grads = jax.value_and_grad(
+                lambda p: det.loss_fn(p, b, k), has_aux=True
+            )(st.params)
+            return apply_gradients(st, grads, tx)
+
+        @jax.jit
+        def train_n(st, n):
+            st = lax.fori_loop(0, n, step, st)
+            # consume every param so nothing in the chain is dead code
+            return sum(x.sum(dtype=jnp.float32)
+                       for x in jax.tree.leaves(st.params))
+
+        def fetch(n):
+            return float(train_n(state, n))
+
+        fetch(1)  # compile + warm
+        t0 = time.perf_counter()
+        fetch(0)
+        roundtrip = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fetch(args.train_iters)
+        dt = max(time.perf_counter() - t0 - roundtrip, 1e-9)
+        tr_img_s = train_batch_size * args.train_iters / dt
+        out["train_img_s_chip"] = round(tr_img_s, 2)
+        out["train_step_ms"] = round(1000 * dt / args.train_iters, 1)
+        out["train_vs_baseline"] = round(tr_img_s / A100_BASELINE_TRAIN_IMG_S, 3)
+        if args.mode == "train":
+            out.update(
+                metric=f"{args.model} R-50-FPN train images/sec/chip "
+                       f"({h}x{w}, bs={train_batch_size}, {args.dtype})",
+                value=out["train_img_s_chip"],
+                unit="images/sec",
+                vs_baseline=out["train_vs_baseline"],
+            )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,112 @@
+"""Stage-by-stage timing of the Mask R-CNN inference pipeline on real TPU.
+
+Times CUMULATIVE pipeline prefixes (each a separate jitted chained-loop
+program, same honest methodology as bench.py) so per-stage cost = successive
+differences. Drives the perf work: which stage to attack next, and what the
+fusion-barrier A/Bs must beat (VERDICT r1 items 1/3/7).
+
+Run: python scripts/profile_stages.py [--size 1024] [--batch 2] [--iters 20]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    import jax.numpy as jnp
+    from jax import lax
+
+    from detectron_tpu.config import get_config
+    from detectron_tpu.data.synthetic import make_batch
+    from detectron_tpu.models import faster_rcnn as frcnn
+    from detectron_tpu.models.zoo import build_detector
+
+    cfg = get_config()
+    cfg.model.name = "mask_rcnn"
+    cfg.model.dtype = args.dtype
+    h = w = args.size
+    det = build_detector(cfg)
+    model = det.module
+    params = det.init(jax.random.key(0), (h, w))
+    batch = make_batch(np.random.RandomState(0), args.batch, (h, w),
+                       cfg.model.num_classes)
+    images = jnp.asarray(batch["image"])
+    image_hw = jnp.asarray(batch["image_hw"])
+    gen = frcnn.rpn_anchor_generator(cfg)
+    anchors_pl = gen.grid_anchors((h, w))
+
+    def pipeline(imgs, upto: int):
+        levels = model.apply(params, imgs, method=model.features)
+        if upto == 1:
+            return sum(l.sum(dtype=jnp.float32) for l in levels)
+        scores_pl, deltas_pl = model.apply(params, levels, method=model.rpn)
+        if upto == 2:
+            return sum(s.sum(dtype=jnp.float32) for s in scores_pl)
+        props = frcnn.proposals_from_rpn(
+            scores_pl, deltas_pl, anchors_pl, image_hw, cfg, train=False)
+        if upto == 3:
+            return props.boxes.sum(dtype=jnp.float32)
+        cls_logits, reg = model.apply(params, levels, props.boxes,
+                                      method=model.box)
+        if upto == 4:
+            return cls_logits.sum(dtype=jnp.float32)
+        dets = frcnn.fastrcnn_inference(cls_logits, reg, props.boxes,
+                                        props.valid, image_hw, cfg)
+        if upto == 5:
+            return dets.scores.sum(dtype=jnp.float32)
+        mask_logits = model.apply(params, levels, dets.boxes,
+                                  method=model.mask)
+        k = jnp.clip(dets.classes - 1, 0, mask_logits.shape[-1] - 1)
+        own = jnp.take_along_axis(
+            mask_logits, k[:, :, None, None, None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        return jax.nn.sigmoid(own).sum(dtype=jnp.float32)
+
+    names = ["backbone+fpn", "+rpn_head", "+proposals(topk+nms)",
+             "+roialign+box_head", "+cls_nms_postprocess", "+mask_head"]
+    results = {}
+    prev = 0.0
+    for upto in range(1, 7):
+        @jax.jit
+        def bench_n(imgs, n, upto=upto):
+            def body(i, acc):
+                return acc + pipeline(
+                    imgs + i.astype(jnp.float32) * 1e-6, upto)
+            return lax.fori_loop(0, n, body, 0.0)
+
+        float(bench_n(images, 1))  # compile
+        t0 = time.perf_counter()
+        float(bench_n(images, 0))
+        roundtrip = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(bench_n(images, args.iters))
+        dt = (time.perf_counter() - t0 - roundtrip) / args.iters * 1000
+        results[names[upto - 1]] = {"cum_ms": round(dt, 2),
+                                    "stage_ms": round(dt - prev, 2)}
+        prev = dt
+        print(f"{names[upto-1]:28s} cum {dt:7.2f} ms   "
+              f"stage {results[names[upto-1]]['stage_ms']:7.2f} ms",
+              flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

