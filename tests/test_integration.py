@@ -78,7 +78,9 @@ def test_overfit_retinanet_recovers_gt_via_eval_protocol():
             "classes": np.asarray(dets.classes[i])[v],
         })
     res = evaluate(gts, dts, num_classes=3)
-    assert res["AP50"] > 0.45, (res, float(total))
+    # measured 1.000 at step 150 (fp32 CPU); ≥0.9 catches subtle
+    # assignment/decode regressions the old 0.45 bar let through
+    assert res["AP50"] >= 0.9, (res, float(total))
 
 
 @pytest.mark.slow
@@ -106,19 +108,15 @@ def test_overfit_faster_rcnn_detects_objects():
     assert float(total) < 0.5 * first, (first, float(total))
 
     dets, _ = jax.jit(lambda p, b: det.predict_fn(p, b))(state.params, jbatch)
-    # detections overlap the gt box with IoU > 0.5 on both images
-    from detectron_tpu.ops.boxes import bbox_overlaps
-
-    hits = 0
+    gts, dts = [], []
     for i in range(2):
-        v = np.asarray(dets.valid[i])
-        if not v.any():
-            continue
         keep = batch["gt_classes"][i] > 0
-        iou = np.asarray(bbox_overlaps(
-            jnp.asarray(np.asarray(dets.boxes[i])[v]),
-            jnp.asarray(batch["gt_boxes"][i][keep]),
-        ))
-        if iou.max() > 0.5:
-            hits += 1
-    assert hits == 2, hits
+        gts.append({"boxes": batch["gt_boxes"][i][keep],
+                    "classes": batch["gt_classes"][i][keep], "ignore": None})
+        v = np.asarray(dets.valid[i])
+        dts.append({"boxes": np.asarray(dets.boxes[i])[v],
+                    "scores": np.asarray(dets.scores[i])[v],
+                    "classes": np.asarray(dets.classes[i])[v]})
+    res = evaluate(gts, dts, num_classes=3)
+    # measured AP50=1.000, AP=0.75 at step 150 (fp32 CPU)
+    assert res["AP50"] >= 0.9, (res, float(total))
