@@ -84,8 +84,14 @@ def main():
         def one(i, p, b):
             b = dict(b)
             b["image"] = b["image"] + i.astype(jnp.float32) * 1e-6
-            dets, _ = det.predict_fn(p, b)
-            return dets.scores.sum()
+            dets, masks = det.predict_fn(p, b)
+            # consume EVERY output: leaving masks unused lets XLA dead-code
+            # the whole mask branch (this silently inflated the round-1
+            # number by ~40% — found via scripts/profile_stages.py)
+            acc = dets.scores.sum(dtype=jnp.float32)
+            if masks is not None:
+                acc = acc + masks.sum(dtype=jnp.float32)
+            return acc
 
         @jax.jit
         def bench_n(p, b, n):

@@ -40,10 +40,17 @@ def generate_proposals(
     nms_thresh: float = 0.7,
     min_size: float = 0.0,
     nms_impl: str = "jnp",
+    exact_topk: bool = False,
 ) -> Proposals:
     """RPN proposals for a batch. Scores are raw logits (monotonic with
     sigmoid, so no activation needed for ranking; sigmoid applied for the
-    returned scores)."""
+    returned scores).
+
+    exact_topk=False uses ``lax.approx_max_k`` (recall 0.99) for the
+    per-level pre-NMS candidate cut on large levels — exact ``top_k`` over
+    P2's ~800k logits is sort-bound on TPU (the same trade RetinaNet's
+    candidate selection makes; only tail candidates near the 1000th-place
+    cutoff can differ)."""
     num_levels = len(scores_per_level)
 
     def per_image(scores_levels, deltas_levels, hw):
@@ -53,7 +60,10 @@ def generate_proposals(
             d = deltas_levels[l]  # [Nl, 4]
             anc = jnp.asarray(anchors_per_level[l])
             k = min(pre_nms_topk, s.shape[0])
-            top_s, top_i = jax.lax.top_k(s, k)
+            if exact_topk or s.shape[0] < 4 * k:
+                top_s, top_i = jax.lax.top_k(s, k)
+            else:
+                top_s, top_i = jax.lax.approx_max_k(s, k, recall_target=0.99)
             boxes = box_ops.decode_boxes(d[top_i], anc[top_i])
             boxes = box_ops.clip_boxes(boxes, hw[0], hw[1])
             ok = box_ops.valid_box_mask(boxes, min_size)

@@ -91,6 +91,7 @@ class TwoStageDetector(nn.Module):
     class_agnostic: bool = False
     include_mask: bool = False
     pool_type: str = "align"  # align | pool (reference ships both ops)
+    align_impl: str = "gather"  # gather | window (separable-matmul XLA path)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -143,6 +144,18 @@ class TwoStageDetector(nn.Module):
                 tuple(levels[: len(ROI_STRIDES)]), rois, ROI_STRIDES, size,
                 self.sampling_ratio,
             )
+        if self.align_impl == "window":
+            # custom_vjp: windowed matmul forward, Pallas scatter-add
+            # backward (the autodiff backward of the windowed forward
+            # scatters whole windows and nearly doubles the train step)
+            from detectron_tpu.ops.roi_align_pallas import (
+                roi_align_window_trainable,
+            )
+
+            return roi_align_window_trainable(
+                tuple(levels[: len(ROI_STRIDES)]), rois, ROI_STRIDES, size,
+                self.sampling_ratio,
+            )
         return multilevel_roi_align(
             levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
             output_size=size, sampling_ratio=self.sampling_ratio,
@@ -177,6 +190,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         class_agnostic=cfg.roi.class_agnostic_regression,
         include_mask=include_mask,
         pool_type=cfg.roi.get("pool_type", "align"),
+        align_impl=cfg.roi.get("align_impl", "gather"),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )
 
@@ -215,6 +229,7 @@ def proposals_from_rpn(scores_pl, deltas_pl, anchors_pl, image_hw, cfg,
         nms_thresh=cfg.rpn.nms_thresh,
         min_size=cfg.rpn.min_size,
         nms_impl="pallas" if use_fused_nms(cfg) else "jnp",
+        exact_topk=cfg.rpn.get("exact_topk", False),
     )
 
 

@@ -178,6 +178,133 @@ def multilevel_roi_align(
     return jax.vmap(per_image)(flat, rois)
 
 
+def _interp_weights(lo, extent, offset, win: int, limit, pool: int,
+                    ratio: int):
+    """Folded bilinear+average interpolation matrices, batched over RoIs.
+
+    lo/extent/offset/limit: [R] per-RoI scalars (offset int32, limit float).
+    Returns [R, pool, win] where out = W @ window reproduces Caffe2 RoIAlign
+    along one axis (the same construction as the Pallas kernel's
+    _interp_matrix, vectorized in jnp).
+    """
+    r = lo.shape[0]
+    bin_size = extent / pool  # [R]
+    k = np.arange(pool * ratio)
+    pos = jnp.asarray(
+        (k // ratio) + ((k % ratio) + 0.5) / ratio, jnp.float32
+    )  # [pool*ratio]
+    s = lo[:, None] + pos[None, :] * bin_size[:, None]  # [R, pool*ratio]
+    inb = (s >= -1.0) & (s <= limit[:, None])
+    sc = jnp.clip(s, 0.0, limit[:, None] - 1.0) - offset[:, None].astype(
+        jnp.float32
+    )
+    sc = jnp.clip(sc, 0.0, float(win) - 1.0)  # window-edge replicate
+    y = jnp.asarray(np.arange(win), jnp.float32)  # [win]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(y[None, None, :] - sc[:, :, None]))
+    w = jnp.where(inb[:, :, None], w, 0.0)  # [R, pool*ratio, win]
+    return w.reshape(r, pool, ratio, win).sum(axis=2) / float(ratio)
+
+
+def multilevel_roi_align_windowed(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    strides: Sequence[int],
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    min_level: int | None = None,
+    window: int = 32,
+) -> jnp.ndarray:
+    """RoIAlign as windowed separable interpolation MATMULS, pure XLA.
+
+    The same algorithm as the Pallas kernel (ops/roi_align_pallas.py) —
+    per-RoI feature window + two folded-bilinear interpolation matrices,
+    ``pooled = Wy @ window @ Wx^T`` — but expressed in XLA so there is no
+    pallas_call fusion barrier: ONE row-slice gather from the flat level
+    table builds [R, wh, ww, C] windows, then two batched MXU matmuls do all
+    interpolation+averaging. Replaces ~R*P*P*4 scalar-row gathers with
+    R*wh contiguous (ww*C)-sized slices — the four-corner gather was the
+    top hot spot and scaled super-linearly in batch (profile in DESIGN.md).
+
+    Exactness: identical to multilevel_roi_align whenever each RoI's sample
+    span fits its window (guaranteed by the FPN level-assignment bound up to
+    ~5:1 aspect; beyond that samples border-replicate at the window edge) and
+    the coarsest level fits entirely (top_h <= window — checked; falls back
+    otherwise). Oracle-tested in tests/test_roi_align.py.
+    """
+    num_levels = len(features)
+    if min_level is None:
+        min_level = int(np.log2(strides[0]))
+    p, s = output_size, sampling_ratio
+    b, _, _, c = features[0].shape
+    r = rois.shape[1]
+    dtype = features[0].dtype
+
+    hs = np.array([f.shape[1] for f in features])
+    ws = np.array([f.shape[2] for f in features])
+    if hs[-1] > window or ws[-1] > window + 8:
+        # coarsest level must fit whole (top-clamped RoI spans are unbounded)
+        return multilevel_roi_align(
+            list(features), rois, list(strides), output_size=output_size,
+            sampling_ratio=sampling_ratio, min_level=min_level,
+        )
+    win_h, win_w = window, window + 8
+    offsets = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
+    flat = jnp.concatenate([f.reshape(b, -1, c) for f in features], axis=1)
+    # zero tail so end-of-table windows never clamp their slice starts
+    # (clamping would shift values away from the positions the weights
+    # assume); weights already mask rows/cols outside the true level.
+    flat = jnp.pad(flat, ((0, 0), (0, win_h * int(ws.max()) + win_w), (0, 0)))
+
+    strides_arr = jnp.asarray(np.array(strides, np.float32))
+    hs_f = jnp.asarray(hs.astype(np.float32))
+    ws_f = jnp.asarray(ws.astype(np.float32))
+    hs_i = jnp.asarray(hs.astype(np.int32))
+    ws_i = jnp.asarray(ws.astype(np.int32))
+    off_arr = jnp.asarray(offsets.astype(np.int32))
+
+    def per_image(feat_flat, rois_i):  # [Lpad, C], [R, 4]
+        lvl = assign_fpn_levels(rois_i, num_levels, min_level)
+        scale = 1.0 / strides_arr[lvl]
+        hl, wl = hs_f[lvl], ws_f[lvl]
+        hli, wli = hs_i[lvl], ws_i[lvl]
+        off = off_arr[lvl]
+        fx1 = rois_i[:, 0] * scale
+        fy1 = rois_i[:, 1] * scale
+        fw = jnp.maximum(rois_i[:, 2] * scale - fx1, 1.0)
+        fh = jnp.maximum(rois_i[:, 3] * scale - fy1, 1.0)
+        y0 = jnp.clip(jnp.floor(fy1).astype(jnp.int32) - 1, 0,
+                      jnp.maximum(hli - win_h, 0))
+        x0 = jnp.clip(jnp.floor(fx1).astype(jnp.int32) - 1, 0,
+                      jnp.maximum(wli - win_w, 0))
+        wy = _interp_weights(fy1, fh, y0, win_h, hl, p, s)  # [R, P, wh]
+        wx = _interp_weights(fx1, fw, x0, win_w, wl, p, s)  # [R, P, ww]
+
+        # window row starts in the flat table: [R, wh]
+        row = y0[:, None] + jnp.asarray(np.arange(win_h), jnp.int32)[None, :]
+        start = off[:, None] + row * wli[:, None] + x0[:, None]
+
+        def row_slice(st):  # (ww, C) contiguous slice
+            return jax.lax.dynamic_slice(feat_flat, (st, 0), (win_w, c))
+
+        win = jax.vmap(jax.vmap(row_slice))(start)  # [R, wh, ww, C]
+        win = win.astype(jnp.float32)
+        # t[r, p, x, ch] = sum_y wy[r, p, y] win[r, y, x, ch]
+        t = jax.lax.dot_general(
+            wy, win.reshape(r, win_h, win_w * c),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(r, p, win_w, c)
+        # out[r, p, q, ch] = sum_x wx[r, q, x] t[r, p, x, ch]
+        out = jax.lax.dot_general(
+            wx, t,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [R, Q, P, C] with dims (batch r, q, p, c)
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(dtype)
+
+    return jax.vmap(per_image)(flat, rois)
+
+
 def roi_align(
     feature: jnp.ndarray,
     rois: jnp.ndarray,

@@ -19,9 +19,12 @@ TPU-shaped algorithm:
     folded into the weight matrices — bit-compatible with ops/roi_align.py,
     which is the oracle for this kernel.
 
-The backward pass uses the jnp implementation's autodiff (gather transpose)
-via jax.custom_vjp, so training keeps exact gradients while inference gets
-the fast kernel.
+The backward is a Pallas kernel too (multilevel_roi_align_pallas_bwd):
+d_window = Wy^T @ d_out @ Wx per RoI — the transpose of the forward's
+matmuls — accumulated into the level gradients by sequential-grid
+read-modify-write window DMAs (the TPU answer to the CUDA atomicAdd
+scatter). Both directions fall back to the jnp implementation when the
+kernel's shape preconditions don't hold.
 """
 
 from __future__ import annotations
@@ -255,6 +258,184 @@ def multilevel_roi_align_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward: scatter-add of bilinear gradients (SURVEY.md §7 hard
+# part #1). The CUDA reference uses atomicAdd per sample (reference:
+# roi_align_backward_cuda in libs/roi_align/src/roi_align_kernel.cu); the
+# TPU grid is sequential, so each program read-modify-writes its RoI's
+# window instead: d_window = Wy^T @ d_out @ Wx (the exact transpose of the
+# forward's separable interpolation matmuls), accumulated into the level
+# gradient with a window DMA round-trip. No atomics, no races.
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype):
+    num_levels = len(level_shapes)
+    wins = [
+        (min(h, 2 * WINDOW), min(w, 2 * WINDOW + 8))
+        for (h, w, _) in level_shapes
+    ]
+    c = level_shapes[0][2]
+    max_wh = max(w[0] for w in wins)
+    max_ww = max(w[1] for w in wins)
+
+    def kernel(rois_ref, lvl_ref, bidx_ref, *refs):
+        g_ref = refs[0]  # [1, pool, pool, c] VMEM block for this RoI
+        # refs[1 : 1+L] are the zero-init inputs; the OUTPUT refs follow
+        # (aliased to the same buffers) — all RMW goes through the outputs
+        dfeat_refs = refs[1 + num_levels : 1 + 2 * num_levels]
+        win_scratch = refs[1 + 2 * num_levels]  # [wh, ww, C]
+        sems = refs[2 + 2 * num_levels]  # DMA sems [2] (read, write)
+        n = pl.program_id(0)
+
+        def window_geom(m, l):
+            hl, wl, _ = level_shapes[l]
+            win_h, win_w = wins[l]
+            scale = 1.0 / strides[l]
+            fx1 = rois_ref[m, 0] * scale
+            fy1 = rois_ref[m, 1] * scale
+            fw = jnp.maximum(rois_ref[m, 2] * scale - fx1, 1.0)
+            fh = jnp.maximum(rois_ref[m, 3] * scale - fy1, 1.0)
+            y0 = jnp.clip(jnp.floor(fy1).astype(jnp.int32) - 1, 0, hl - win_h)
+            x0 = jnp.clip(jnp.floor(fx1).astype(jnp.int32) - 1, 0, wl - win_w)
+            x0 = pl.multiple_of((x0 // 8) * 8, 8)
+            return fx1, fy1, fw, fh, y0, x0
+
+        for l in range(num_levels):
+            hl, wl, _ = level_shapes[l]
+            wl_clamp = orig_wls[l]
+            win_h, win_w = wins[l]
+
+            @pl.when(lvl_ref[n] == l)
+            def _():
+                fx1, fy1, fw, fh, y0, x0 = window_geom(n, l)
+                region = dfeat_refs[l].at[
+                    bidx_ref[n], pl.ds(y0, win_h), pl.ds(x0, win_w), :
+                ]
+                dst = win_scratch.at[pl.ds(0, win_h), pl.ds(0, win_w), :]
+                read = pltpu.make_async_copy(region, dst, sems.at[0])
+                read.start()
+                wy = _interp_matrix(fy1, fh, y0, win_h, hl, pool, ratio)
+                wx = _interp_matrix(fx1, fw, x0, win_w, wl_clamp, pool, ratio)
+                g = g_ref[0].astype(jnp.float32)  # [pool, pool, c]
+                # t[y, q, ch] = sum_p wy[p, y] g[p, q, ch]
+                t = jnp.dot(
+                    wy.T, g.reshape(pool, pool * c),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(win_h, pool, c)
+                # d_win[x, y, ch] = sum_q wx[q, x] t[y, q, ch] — contracting
+                # so C stays the LANE dim: the (x, y) swap below touches only
+                # sublane-major dims (cheap), unlike a (c, x) minor transpose
+                # which blew the VMEM stack (32 MB Mosaic allocation)
+                d_win = jax.lax.dot_general(
+                    wx, t,
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [win_w, win_h, c]
+                d_win = jnp.transpose(d_win, (1, 0, 2))  # [win_h, win_w, c]
+                read.wait()
+                acc = win_scratch[pl.ds(0, win_h), pl.ds(0, win_w), :]
+                win_scratch[pl.ds(0, win_h), pl.ds(0, win_w), :] = (
+                    acc.astype(jnp.float32) + d_win
+                ).astype(out_dtype)
+                write = pltpu.make_async_copy(dst, region, sems.at[1])
+                write.start()
+                # the next program may read an overlapping window: the write
+                # must land before this program ends (sequential grid order
+                # is the only synchronization between programs)
+                write.wait()
+
+    return kernel, (max_wh, max_ww, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "strides", "output_size", "sampling_ratio", "min_level", "interpret"
+    ),
+)
+def multilevel_roi_align_pallas_bwd(
+    g: jnp.ndarray,  # [B, R, P, P, C] upstream gradient
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    strides: Sequence[int] = (4, 8, 16, 32),
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    min_level: int | None = None,
+    interpret: bool = False,
+):
+    """d(multilevel_roi_align)/d(features) as a Pallas kernel.
+
+    Returns per-level [B, Hl, Wl, C] gradients (same dtypes as features).
+    Falls back to the jnp VJP under the same conditions as the forward.
+    """
+    num_levels = len(features)
+    if min_level is None:
+        min_level = int(np.log2(strides[0]))
+    b, r = rois.shape[:2]
+    c = features[0].shape[-1]
+    p = output_size
+    dtype = features[0].dtype
+
+    top_h, top_w = features[-1].shape[1:3]
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    if not on_tpu or top_h > 48 or top_w > 48 or c % 128 != 0:
+        _, vjp = jax.vjp(
+            lambda f: multilevel_roi_align(
+                list(f), rois, list(strides), output_size=output_size,
+                sampling_ratio=sampling_ratio, min_level=min_level,
+            ),
+            tuple(features),
+        )
+        return vjp(g)[0]
+
+    flat_rois = rois.reshape(b * r, 4)
+    lvl = assign_fpn_levels(flat_rois, num_levels, min_level).astype(jnp.int32)
+    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+
+    orig_wls = tuple(f.shape[2] for f in features)
+    padded_shapes = [
+        (f.shape[0], f.shape[1], f.shape[2] + (-f.shape[2] % 8), f.shape[3])
+        for f in features
+    ]
+    level_shapes = [s[1:] for s in padded_shapes]
+    kernel, (wh, ww, _) = _make_bwd_kernel(
+        level_shapes, orig_wls, tuple(float(s) for s in strides), p,
+        sampling_ratio, dtype,
+    )
+
+    zeros = [jnp.zeros(s, dtype) for s in padded_shapes]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # rois, lvl, bidx
+        grid=(b * r,),
+        in_specs=[
+            pl.BlockSpec((1, p, p, c), lambda n, *prefetch: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wh, ww, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(s, dtype) for s in padded_shapes],
+        # accumulate in place into the zero-initialized buffers
+        input_output_aliases={4 + i: i for i in range(num_levels)},
+        interpret=interpret,
+    )(flat_rois, lvl, bidx, g.reshape(b * r, p, p, c), *zeros)
+    return tuple(
+        o[:, :, :w0, :] if o.shape[2] != w0 else o
+        for o, w0 in zip(outs, orig_wls)
+    )
+
+
+# ---------------------------------------------------------------------------
 # custom-vjp wrapper: Pallas forward, jnp-autodiff backward
 # ---------------------------------------------------------------------------
 
@@ -279,15 +460,40 @@ def _fwd(features, rois, strides, output_size, sampling_ratio):
 
 def _bwd(strides, output_size, sampling_ratio, res, g):
     features, rois = res
-    _, vjp = jax.vjp(
-        lambda f: multilevel_roi_align(
-            list(f), rois, list(strides), output_size=output_size,
-            sampling_ratio=sampling_ratio,
-        ),
-        features,
+    d_features = multilevel_roi_align_pallas_bwd(
+        g, list(features), rois, strides=tuple(strides),
+        output_size=output_size, sampling_ratio=sampling_ratio,
     )
-    (d_features,) = vjp(g)
-    return d_features, jnp.zeros_like(rois)
+    return tuple(d_features), jnp.zeros_like(rois)
 
 
 roi_align_fused.defvjp(_fwd, _bwd)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnames=("strides", "output_size", "sampling_ratio")
+)
+def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
+                               output_size=7, sampling_ratio=2):
+    """Windowed separable-matmul forward (ops/roi_align.py, the fastest
+    inference path) + Pallas scatter-add backward. The windowed forward's
+    AUTODIFF backward scatters whole [R, wh, ww, C] windows, which measured
+    228 ms/step vs 126 for the gather path — this pairing keeps the fast
+    forward and replaces the backward with the sequential-RMW kernel.
+    RoIs get zero gradient (reference CUDA RoIAlign semantics; rois are
+    stop-gradient-derived in both training heads anyway)."""
+    from detectron_tpu.ops.roi_align import multilevel_roi_align_windowed
+
+    return multilevel_roi_align_windowed(
+        list(features), rois, list(strides), output_size=output_size,
+        sampling_ratio=sampling_ratio,
+    )
+
+
+def _wfwd(features, rois, strides, output_size, sampling_ratio):
+    out = roi_align_window_trainable(features, rois, strides, output_size,
+                                     sampling_ratio)
+    return out, (features, rois)
+
+
+roi_align_window_trainable.defvjp(_wfwd, _bwd)

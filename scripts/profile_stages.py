@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--model", default="mask_rcnn",
+                    choices=("mask_rcnn", "retinanet"))
     args = ap.parse_args()
 
     import jax
@@ -40,7 +42,7 @@ def main():
     from detectron_tpu.models.zoo import build_detector
 
     cfg = get_config()
-    cfg.model.name = "mask_rcnn"
+    cfg.model.name = args.model
     cfg.model.dtype = args.dtype
     h = w = args.size
     det = build_detector(cfg)
@@ -50,6 +52,50 @@ def main():
                        cfg.model.num_classes)
     images = jnp.asarray(batch["image"])
     image_hw = jnp.asarray(batch["image_hw"])
+
+    if args.model == "retinanet":
+        from detectron_tpu.models import retinanet as retina
+
+        gen = retina.retinanet_anchor_generator(cfg)
+        anchors_pl_r = gen.grid_anchors((h, w))
+        k = cfg.model.num_classes - 1
+
+        def pipeline(imgs, upto: int):
+            # stage 1: backbone+FPN+subnets (one module call); 2: +postprocess
+            feats = model.apply(params, imgs)
+            if upto == 1:
+                return sum(c.sum(dtype=jnp.float32) for c, _ in feats)
+            dets = retina.retinanet_inference(feats, anchors_pl_r,
+                                              image_hw, cfg)
+            return dets.scores.sum(dtype=jnp.float32)
+
+        names = ["backbone+fpn+subnets", "+postprocess(topk+decode+nms)"]
+        results = {}
+        prev = 0.0
+        for upto in range(1, 3):
+            @jax.jit
+            def bench_n(imgs, n, upto=upto):
+                def body(i, acc):
+                    return acc + pipeline(
+                        imgs + i.astype(jnp.float32) * 1e-6, upto)
+                return lax.fori_loop(0, n, body, 0.0)
+
+            float(bench_n(images, 1))
+            t0 = time.perf_counter()
+            float(bench_n(images, 0))
+            roundtrip = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(bench_n(images, args.iters))
+            dt = (time.perf_counter() - t0 - roundtrip) / args.iters * 1000
+            results[names[upto - 1]] = {"cum_ms": round(dt, 2),
+                                        "stage_ms": round(dt - prev, 2)}
+            prev = dt
+            print(f"{names[upto-1]:32s} cum {dt:7.2f} ms   "
+                  f"stage {results[names[upto-1]]['stage_ms']:7.2f} ms",
+                  flush=True)
+        print(json.dumps(results))
+        return
+
     gen = frcnn.rpn_anchor_generator(cfg)
     anchors_pl = gen.grid_anchors((h, w))
 

@@ -48,6 +48,37 @@ def test_generate_proposals_recovers_planted_anchor():
     assert s[0] > 0.99 and np.all(np.diff(s[np.asarray(props.valid[0])]) <= 1e-6)
 
 
+def test_generate_proposals_exact_vs_approx_topk():
+    """RPN approx_max_k candidate selection yields the same proposals as
+    exact top_k when real candidates are far from the pre-NMS cutoff
+    (mirrors the RetinaNet neutrality test; approx engages when Nl >= 4k)."""
+    from detectron_tpu.layers.proposal import generate_proposals
+    from detectron_tpu.ops.anchors import AnchorGenerator
+
+    gen = AnchorGenerator(strides=(8,), ratios=(0.5, 1.0, 2.0),
+                          octave_scales=(1.0,), base_scale=8.0)
+    anchors_pl = gen.grid_anchors((256, 256))  # 32*32*3 = 3072 anchors
+    rng = np.random.RandomState(0)
+    n = anchors_pl[0].shape[0]
+    scores = jnp.asarray(rng.normal(-8, 0.5, (1, n)), jnp.float32)
+    scores = scores.at[0, rng.choice(n, 40, replace=False)].set(
+        jnp.asarray(rng.uniform(2, 6, 40), jnp.float32))
+    deltas = jnp.asarray(rng.normal(0, 0.1, (1, n, 4)), jnp.float32)
+    hw = jnp.array([[256.0, 256.0]])
+
+    outs = {}
+    for exact in (True, False):
+        p = generate_proposals([scores], [deltas], anchors_pl, hw,
+                               pre_nms_topk=256, post_nms_topk=64,
+                               exact_topk=exact)
+        v = np.asarray(p.valid[0])
+        order = np.argsort(-np.asarray(p.scores[0])[v])
+        outs[exact] = (np.asarray(p.boxes[0])[v][order],
+                       np.asarray(p.scores[0])[v][order])
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_sample_rois_composition():
     rng = np.random.RandomState(0)
     # proposals: 30 near gt (fg), 70 far (bg)
@@ -159,6 +190,30 @@ def test_roi_pool_path_runs(cfg):
     dets, _ = frcnn.faster_rcnn_eval_forward(model, params, images, hw, c)
     assert dets.boxes.shape[0] == 1
     assert bool(jnp.all(jnp.isfinite(dets.boxes)))
+
+
+def test_windowed_align_impl_matches_gather_end_to_end(cfg):
+    """cfg.roi.align_impl=window gives the same detections as the gather
+    path through the full eval forward (the two RoIAlign impls are
+    oracle-equal; this pins the model wiring)."""
+    import ml_collections
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)), jnp.float32)
+    hw = jnp.array([[128.0, 128.0]])
+    outs = {}
+    for impl in ("gather", "window"):
+        c = ml_collections.ConfigDict(cfg.to_dict())
+        c.roi.align_impl = impl
+        model = frcnn.build_two_stage(c, include_mask=False)
+        rois = jnp.zeros((1, 4, 4)).at[:, :, 2:].set(32.0)
+        params = jax.jit(model.init)(jax.random.key(0), images, rois)
+        dets, _ = frcnn.faster_rcnn_eval_forward(model, params, images, hw, c)
+        outs[impl] = dets
+    np.testing.assert_allclose(np.asarray(outs["gather"].boxes),
+                               np.asarray(outs["window"].boxes), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(outs["gather"].scores),
+                               np.asarray(outs["window"].scores), atol=1e-4)
 
 
 def test_sample_rois_zero_gt_yields_background():

@@ -180,3 +180,61 @@ def test_ps_roi_pool_linear_ramp_exact():
     np.testing.assert_allclose(float(out[0, 0, 0, 0, 0]), 2.0, atol=1e-5)
     # right bin: x in {4.5, 5.5, 6.5, 7.5}, 7.5 border-clamps to 7 -> 5.875
     np.testing.assert_allclose(float(out[0, 0, 0, 1, 0]), 5.875, atol=1e-5)
+
+
+@pytest.mark.parametrize("pool", [7, 14])
+def test_windowed_matmul_matches_gather_oracle(pool):
+    """multilevel_roi_align_windowed (separable-matmul XLA path) is
+    numerically identical to the gather implementation for in-bound RoIs,
+    including border rules, level routing, and the zero-pad tail."""
+    rng = np.random.RandomState(0)
+    b, c = 2, 64
+    feats = [jnp.asarray(rng.randn(b, 120 >> i, 120 >> i, c), jnp.float32)
+             for i in range(4)]
+    rois = np.array(
+        [
+            [10, 10, 60, 50],
+            [0, 0, 200, 180],
+            [0, 0, 470, 470],
+            [-20, -20, 100, 90],
+            [300, 300, 470, 470],
+            [5, 5, 6.5, 8],
+        ],
+        np.float32,
+    )
+    rois = jnp.asarray(np.stack([rois + 3.0 * i for i in range(b)]))
+    want = ra.multilevel_roi_align(feats, rois, (4, 8, 16, 32),
+                                   output_size=pool)
+    got = ra.multilevel_roi_align_windowed(feats, rois, (4, 8, 16, 32),
+                                           output_size=pool)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_windowed_matmul_gradients_match():
+    rng = np.random.RandomState(1)
+    feats = tuple(
+        jnp.asarray(rng.randn(1, 64 >> i, 64 >> i, 32), jnp.float32)
+        for i in range(4)
+    )
+    rois = jnp.asarray([[[4.0, 4.0, 40.0, 30.0], [0.0, 0.0, 250.0, 250.0]]])
+
+    def loss(fn):
+        def f(fs):
+            return jnp.sum(fn(list(fs), rois, (4, 8, 16, 32)) ** 2)
+        return f
+
+    g1 = jax.grad(loss(ra.multilevel_roi_align_windowed))(feats)
+    g2 = jax.grad(loss(ra.multilevel_roi_align))(feats)
+    for a, b2 in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-4)
+
+
+def test_windowed_falls_back_when_top_level_large():
+    rng = np.random.RandomState(2)
+    feats = [jnp.asarray(rng.randn(1, 256 >> i, 256 >> i, 32), jnp.float32)
+             for i in range(4)]  # top level 32 <= 32 fits; force larger:
+    feats[-1] = jnp.asarray(rng.randn(1, 64, 64, 32), jnp.float32)
+    rois = jnp.asarray([[[0.0, 0.0, 900.0, 900.0]]])
+    got = ra.multilevel_roi_align_windowed(feats, rois, (4, 8, 16, 32))
+    want = ra.multilevel_roi_align(feats, rois, (4, 8, 16, 32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -81,6 +81,34 @@ def test_non_mult128_channels_fall_back_to_jnp():
     np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-5)
 
 
+@pytest.mark.parametrize("pool", [7, 14])
+def test_pallas_backward_matches_jnp_vjp(pool):
+    """The Pallas backward kernel (window RMW scatter-add) is numerically
+    identical to the jnp VJP, including overlapping RoI windows and the
+    W-padding slice (interpret mode; c=128 engages the kernel path)."""
+    from detectron_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas_bwd
+
+    feats, rois = make_inputs(b=2, c=128, base=120)  # W=120: pad path at P4
+    g = jnp.asarray(
+        np.random.RandomState(3).randn(2, rois.shape[1], pool, pool, 128),
+        jnp.float32,
+    )
+    got = multilevel_roi_align_pallas_bwd(
+        g, feats, rois, strides=(4, 8, 16, 32), output_size=pool,
+        interpret=True,
+    )
+    _, vjp = jax.vjp(
+        lambda f: multilevel_roi_align(
+            list(f), rois, (4, 8, 16, 32), output_size=pool
+        ),
+        tuple(feats),
+    )
+    want = vjp(g)[0]
+    for a, b in zip(got, want):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_custom_vjp_gradients_match_jnp():
     feats, rois = make_inputs(b=1, c=32, base=64)
     feats = tuple(f[:, : f.shape[1] // 2, : f.shape[2] // 2] for f in feats)
