@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--model", default="mask_rcnn")
     ap.add_argument("--mode", default="both",
                     choices=("both", "infer", "train"))
+    ap.add_argument("--set", dest="overrides", nargs="*", default=[],
+                    help="dotted cfg overrides for A/Bs, e.g. "
+                         "model.fused_nms=on roi.align_impl=gather")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +61,10 @@ def main():
     cfg = get_config()
     cfg.model.name = args.model
     cfg.model.dtype = args.dtype
+    if args.overrides:
+        from detectron_tpu.config import cfg_from_list
+
+        cfg_from_list(args.overrides, cfg)
     h = w = args.size
     det = build_detector(cfg)
     params = det.init(jax.random.key(0), (h, w))

@@ -109,6 +109,12 @@ def base_config() -> ml_collections.ConfigDict:
     # hardware-optimized) is the default (mAP-neutral: only low-score
     # candidates near the cutoff differ)
     cfg.retinanet.exact_topk = False
+    # cross-level candidate cap before the merged class-aware NMS: greedy
+    # NMS cost is linear in the sequential candidate count, so capping
+    # 5*pre_nms_topk=5000 to the top 2000 by score shortens the serial
+    # suppression chain 2.5x; only below-threshold tail candidates drop
+    # (the final keep is 100). 0 = no cap.
+    cfg.retinanet.merged_pre_nms_topk = 2000
     cfg.retinanet.score_thresh = 0.05
     cfg.retinanet.nms_thresh = 0.5
     cfg.retinanet.smooth_l1_beta = 0.1111111111111111  # = 1/9, Detectron default

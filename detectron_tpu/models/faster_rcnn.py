@@ -92,12 +92,13 @@ class TwoStageDetector(nn.Module):
     include_mask: bool = False
     pool_type: str = "align"  # align | pool (reference ships both ops)
     align_impl: str = "gather"  # gather | window (separable-matmul XLA path)
+    norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
     dtype: Any = jnp.float32
 
     def setup(self):
         self.body = ResNet(
             depth=self.backbone, frozen_stages=self.frozen_stages,
-            dtype=self.dtype, name="backbone",
+            norm=self.norm, dtype=self.dtype, name="backbone",
         )
         self.neck = FPN(channels=self.channels, levels="p2p6",
                         dtype=self.dtype, name="fpn")
@@ -121,20 +122,14 @@ class TwoStageDetector(nn.Module):
     def _pool(self, levels, rois, size, fused):
         if self.pool_type == "pool":
             # RoIPool parity path (reference: libs/roi_pooling; zoo config
-            # 1's "RoI path" knob). Pools at every level then one-hot
-            # selects — 4x the gather work of the flat-table RoIAlign; fine
-            # for this rarely-used compatibility mode, not the default.
-            from detectron_tpu.ops.roi_align import assign_fpn_levels, roi_pool
+            # 1's "RoI path" knob): exact dynamic-bin max semantics, one
+            # windowed pass routing each RoI to its FPN level.
+            from detectron_tpu.ops.roi_align import multilevel_roi_pool
 
-            # route each RoI to its level, pool there (level-wise max pool)
-            lvl = assign_fpn_levels(rois, len(ROI_STRIDES), 2)
-            outs = [
-                roi_pool(levels[l], rois, ROI_STRIDES[l], output_size=size)
-                for l in range(len(ROI_STRIDES))
-            ]
-            stacked = jnp.stack(outs, axis=0)  # [L, B, R, P, P, C]
-            sel = jax.nn.one_hot(lvl, len(ROI_STRIDES), axis=0)  # [L, B, R]
-            return jnp.sum(stacked * sel[..., None, None, None], axis=0)
+            return multilevel_roi_pool(
+                levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
+                output_size=size,
+            )
         if fused:
             # custom-vjp wrapper: Pallas forward, exact jnp-transpose backward
             # (so the fused path is safe under jax.grad in training too)
@@ -191,6 +186,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         include_mask=include_mask,
         pool_type=cfg.roi.get("pool_type", "align"),
         align_impl=cfg.roi.get("align_impl", "gather"),
+        norm=cfg.model.get("norm", "frozen_bn"),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )
 

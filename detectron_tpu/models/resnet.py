@@ -64,31 +64,44 @@ def conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
     )
 
 
+def make_norm(kind: str, features: int, name: str, dtype):
+    """Normalization factory: "frozen_bn" (reference fine-tune semantics) or
+    "gn" (trainable GroupNorm-32, the train-from-scratch/GN variant). GN
+    modules are named gn*/downsample_gn so `resnet_param_is_frozen`'s
+    "bn"-substring rule keeps frozen-BN params out of the optimizer while
+    GN scale/bias stay trainable."""
+    if kind == "gn":
+        return nn.GroupNorm(num_groups=32, dtype=dtype,
+                            name=name.replace("bn", "gn"))
+    return FrozenBatchNorm(features, dtype=dtype, name=name)
+
+
 class Bottleneck(nn.Module):
     """torchvision v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1, expansion 4."""
 
     features: int
     stride: int = 1
     downsample: bool = False
+    norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = x
         out = conv(self.features, 1, 1, "conv1", self.dtype)(x)
-        out = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn1")(out)
+        out = make_norm(self.norm, self.features, "bn1", self.dtype)(out)
         out = nn.relu(out)
         out = conv(self.features, 3, self.stride, "conv2", self.dtype)(out)
-        out = FrozenBatchNorm(self.features, dtype=self.dtype, name="bn2")(out)
+        out = make_norm(self.norm, self.features, "bn2", self.dtype)(out)
         out = nn.relu(out)
         out = conv(self.features * 4, 1, 1, "conv3", self.dtype)(out)
-        out = FrozenBatchNorm(self.features * 4, dtype=self.dtype, name="bn3")(out)
+        out = make_norm(self.norm, self.features * 4, "bn3", self.dtype)(out)
         if self.downsample:
             residual = conv(
                 self.features * 4, 1, self.stride, "downsample_conv", self.dtype
             )(x)
-            residual = FrozenBatchNorm(
-                self.features * 4, dtype=self.dtype, name="downsample_bn"
+            residual = make_norm(
+                self.norm, self.features * 4, "downsample_bn", self.dtype
             )(residual)
         return nn.relu(out + residual)
 
@@ -98,13 +111,14 @@ class ResNet(nn.Module):
 
     depth: str = "resnet50"
     frozen_stages: int = 1  # 1 = freeze conv1 + res2 like the reference
+    norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         blocks = STAGE_BLOCKS[self.depth]
         x = conv(64, 7, 2, "conv1", self.dtype)(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = make_norm(self.norm, 64, "bn1", self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -117,6 +131,7 @@ class ResNet(nn.Module):
                     features,
                     stride=stride if i == 0 else 1,
                     downsample=(i == 0),
+                    norm=self.norm,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}",
                 )(x)

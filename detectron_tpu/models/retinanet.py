@@ -87,13 +87,14 @@ class RetinaNet(nn.Module):
     channels: int = 256
     num_anchors: int = 9  # must match the anchor generator's anchors/cell
     prior_prob: float = 0.01
+    norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images):
         feats = ResNet(
             depth=self.backbone, frozen_stages=self.frozen_stages,
-            dtype=self.dtype, name="backbone",
+            norm=self.norm, dtype=self.dtype, name="backbone",
         )(images)
         levels = FPN(
             channels=self.channels, levels="p3p7", dtype=self.dtype, name="fpn"
@@ -162,18 +163,21 @@ def retinanet_inference(outputs, anchors_per_level, image_hw, cfg):
     k = cfg.model.num_classes - 1
     topk_per_level = cfg.retinanet.pre_nms_topk
     score_thresh = cfg.retinanet.score_thresh
+    # top-k runs on LOGITS (sigmoid is monotonic): skips materializing a
+    # sigmoid over the ~12M-entry P3 score table; the threshold moves to
+    # logit space as a trace-time constant.
+    logit_thresh = float(np.log(score_thresh / (1.0 - score_thresh)))
 
     def per_image(outs_flat, hw):
-        cand_boxes, cand_scores, cand_cls, cand_valid = [], [], [], []
+        cand_boxes, cand_logits, cand_cls = [], [], []
         for (cls_l, box_l), anc in zip(outs_flat, anchors_per_level):
             nl = anc.shape[0]
-            scores = jax.nn.sigmoid(cls_l.reshape(nl, k))
-            flat = scores.reshape(-1)  # [Nl * k]
+            flat = cls_l.reshape(-1)  # [Nl * k] logits
             t = min(topk_per_level, flat.shape[0])
             if cfg.retinanet.get("exact_topk", False) or flat.shape[0] < 4 * t:
-                top_scores, top_idx = jax.lax.top_k(flat, t)
+                top_logits, top_idx = jax.lax.top_k(flat, t)
             else:
-                top_scores, top_idx = jax.lax.approx_max_k(
+                top_logits, top_idx = jax.lax.approx_max_k(
                     flat, t, recall_target=0.99
                 )
             a_idx = top_idx // k
@@ -183,13 +187,24 @@ def retinanet_inference(outputs, anchors_per_level, image_hw, cfg):
             )
             boxes = box_ops.clip_boxes(boxes, hw[0], hw[1])
             cand_boxes.append(boxes)
-            cand_scores.append(top_scores)
+            cand_logits.append(top_logits)
             cand_cls.append(c_idx + 1)
-            cand_valid.append(top_scores > score_thresh)
         boxes = jnp.concatenate(cand_boxes, 0)
-        scores = jnp.concatenate(cand_scores, 0)
+        logits = jnp.concatenate(cand_logits, 0)
         classes = jnp.concatenate(cand_cls, 0)
-        valid = jnp.concatenate(cand_valid, 0)
+        # Cross-level cap before NMS: greedy NMS cost is linear in the
+        # sequential candidate count (tiles x in-tile recurrence), so
+        # shrinking 5 x pre_nms_topk merged candidates to the top
+        # `merged_pre_nms_topk` by score directly shortens the serial
+        # chain. Only below-threshold tails drop (mAP-neutral knob,
+        # 0 = keep all).
+        merged_cap = int(cfg.retinanet.get("merged_pre_nms_topk", 0))
+        if merged_cap and merged_cap < logits.shape[0]:
+            logits, sel = jax.lax.top_k(logits, merged_cap)
+            boxes = boxes[sel]
+            classes = classes[sel]
+        scores = jax.nn.sigmoid(logits)
+        valid = logits > logit_thresh
         from detectron_tpu.models.faster_rcnn import use_fused_nms
 
         idx, keep_valid = class_aware_nms(

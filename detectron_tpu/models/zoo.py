@@ -49,6 +49,7 @@ class Detector:
                 num_anchors=len(cfg.anchors.ratios)
                 * len(cfg.anchors.retinanet_scales),
                 prior_prob=cfg.retinanet.prior_prob,
+                norm=cfg.model.get("norm", "frozen_bn"),
                 dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
             )
 

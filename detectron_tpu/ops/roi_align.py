@@ -324,38 +324,116 @@ def roi_align(
     )
 
 
+def _pool_bin_masks(start, extent, origin, win: int, limit, pool: int):
+    """Dynamic-bin membership masks for exact RoIPool, batched over RoIs.
+
+    start/origin: [R] int32 (quantized RoI start cell / window origin);
+    extent: [R] float (roi cells, >= 1); limit: [R] int32 level size.
+    Returns (mask [R, pool, win] bool, nonempty [R, pool] bool) where
+    mask[r, p, j] says window row j of RoI r belongs to output bin p under
+    the reference's floor/ceil bin extents.
+    """
+    bin_size = extent / pool  # [R]
+    p = jnp.asarray(np.arange(pool, dtype=np.float32))
+    lo = jnp.floor(p[None, :] * bin_size[:, None]).astype(jnp.int32)
+    hi = jnp.ceil((p[None, :] + 1.0) * bin_size[:, None]).astype(jnp.int32)
+    lo = jnp.clip(lo + start[:, None], 0, limit[:, None])  # [R, pool]
+    hi = jnp.clip(hi + start[:, None], 0, limit[:, None])
+    g = origin[:, None] + jnp.asarray(np.arange(win, dtype=np.int32))  # [R, win]
+    mask = (g[:, None, :] >= lo[:, :, None]) & (g[:, None, :] < hi[:, :, None])
+    return mask, hi > lo
+
+
+def multilevel_roi_pool(
+    features: Sequence[jnp.ndarray],
+    rois: jnp.ndarray,
+    strides: Sequence[int],
+    output_size: int = 7,
+    min_level: int | None = None,
+    window: int = 32,
+) -> jnp.ndarray:
+    """Exact dynamic-bin max RoIPool over an FPN pyramid, static-shape.
+
+    Reference semantics (libs/roi_pooling/src/roi_pooling_kernel.cu,
+    py-faster-rcnn lineage): integer-quantized RoI (round), +1 cell extent,
+    bin (ph, pw) maxes over feature cells [floor(ph*bh), ceil((ph+1)*bh)) x
+    [floor(pw*bw), ceil((pw+1)*bw)) — a *variable*-size bin; empty bins are
+    0. The dynamic bins become static shapes the same way the windowed
+    RoIAlign does: one row-slice gather builds per-RoI [wh, ww, C] windows
+    from the flat level table, then per-bin membership masks + a separable
+    masked max (rows, then cols) reproduce the variable-size bin max. RoIs
+    spanning more than `window` cells at their assigned level degrade
+    gracefully (out-of-window cells drop from the max; FPN level assignment
+    keeps spans within the window for aspect ratios up to ~4:1).
+    """
+    num_levels = len(features)
+    if min_level is None:
+        min_level = int(np.log2(strides[0]))
+    pool = output_size
+    b, _, _, c = features[0].shape
+    r = rois.shape[1]
+    dtype = features[0].dtype
+
+    hs = np.array([f.shape[1] for f in features])
+    ws = np.array([f.shape[2] for f in features])
+    win_h, win_w = window, window + 8
+    offsets = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
+    flat = jnp.concatenate([f.reshape(b, -1, c) for f in features], axis=1)
+    flat = jnp.pad(flat, ((0, 0), (0, win_h * int(ws.max()) + win_w), (0, 0)))
+
+    strides_arr = jnp.asarray(np.array(strides, np.float32))
+    hs_i = jnp.asarray(hs.astype(np.int32))
+    ws_i = jnp.asarray(ws.astype(np.int32))
+    off_arr = jnp.asarray(offsets.astype(np.int32))
+    neg = jnp.asarray(np.finfo(np.float32).min, jnp.float32)
+
+    def per_image(feat_flat, rois_i):  # [Lpad, C], [R, 4]
+        lvl = assign_fpn_levels(rois_i, num_levels, min_level)
+        scale = 1.0 / strides_arr[lvl]
+        hli, wli = hs_i[lvl], ws_i[lvl]
+        off = off_arr[lvl]
+        sx = jnp.round(rois_i[:, 0] * scale).astype(jnp.int32)
+        sy = jnp.round(rois_i[:, 1] * scale).astype(jnp.int32)
+        ex = jnp.round(rois_i[:, 2] * scale).astype(jnp.int32)
+        ey = jnp.round(rois_i[:, 3] * scale).astype(jnp.int32)
+        rw = jnp.maximum(ex - sx + 1, 1).astype(jnp.float32)
+        rh = jnp.maximum(ey - sy + 1, 1).astype(jnp.float32)
+        y0 = jnp.clip(sy, 0, jnp.maximum(hli - win_h, 0))
+        x0 = jnp.clip(sx, 0, jnp.maximum(wli - win_w, 0))
+        my, ney = _pool_bin_masks(sy, rh, y0, win_h, hli, pool)
+        mx, nex = _pool_bin_masks(sx, rw, x0, win_w, wli, pool)
+
+        row = y0[:, None] + jnp.asarray(np.arange(win_h), jnp.int32)[None, :]
+        start = off[:, None] + row * wli[:, None] + x0[:, None]
+
+        def row_slice(st):  # (ww, C) contiguous slice
+            return jax.lax.dynamic_slice(feat_flat, (st, 0), (win_w, c))
+
+        win = jax.vmap(jax.vmap(row_slice))(start)  # [R, wh, ww, C]
+        win = win.astype(jnp.float32)
+        # separable masked max: rows first (pool passes over the window,
+        # each fused by XLA into a single select+reduce), then cols.
+        trow = jnp.stack(
+            [jnp.max(jnp.where(my[:, p, :, None, None], win, neg), axis=1)
+             for p in range(pool)], axis=1)  # [R, P, ww, C]
+        out = jnp.stack(
+            [jnp.max(jnp.where(mx[:, q, None, :, None], trow, neg), axis=2)
+             for q in range(pool)], axis=2)  # [R, P, P, C]
+        nonempty = (ney[:, :, None] & nex[:, None, :])[..., None]
+        return jnp.where(nonempty, out, 0.0).astype(dtype)
+
+    return jax.vmap(per_image)(flat, rois)
+
+
 def roi_pool(
     feature: jnp.ndarray,
     rois: jnp.ndarray,
     stride: int,
     output_size: int = 7,
-    samples_per_bin: int = 4,
+    window: int = 32,
 ) -> jnp.ndarray:
-    """RoIPool (max) with a fixed sample grid per bin; nearest-neighbor reads.
-
-    Static-shape stand-in for the reference's dynamic-bin RoIPooling
-    (reference: libs/roi_pooling/src/roi_pooling_kernel.cu). See module
-    docstring for the deviation note.
-    """
-    B, H, W, C = feature.shape
-    P, S = output_size, samples_per_bin
-    flat = feature.reshape(B, H * W, C)
-
-    def per_image(feat_flat, rois_i):
-        scale = 1.0 / stride
-        x1 = jnp.floor(rois_i[:, 0] * scale)
-        y1 = jnp.floor(rois_i[:, 1] * scale)
-        x2 = jnp.ceil(rois_i[:, 2] * scale)
-        y2 = jnp.ceil(rois_i[:, 3] * scale)
-        rw = jnp.maximum(x2 - x1, 1.0)
-        rh = jnp.maximum(y2 - y1, 1.0)
-        xs = _sample_coords(x1, rw, P, S)
-        ys = _sample_coords(y1, rh, P, S)
-        xi = jnp.clip(jnp.floor(xs), 0, W - 1).astype(jnp.int32)
-        yi = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)
-        idx = yi[:, :, None] * W + xi[:, None, :]  # [R, PS, PS]
-        vals = feat_flat[idx.reshape(-1)].reshape(idx.shape + (C,))
-        vals = vals.reshape(-1, P, S, P, S, C)
-        return jnp.max(vals, axis=(2, 4))
-
-    return jax.vmap(per_image)(flat, rois)
+    """Single-level exact dynamic-bin max RoIPool (reference:
+    libs/roi_pooling/src/roi_pooling_kernel.cu). See multilevel_roi_pool."""
+    return multilevel_roi_pool(
+        [feature], rois, [stride], output_size=output_size, window=window,
+    )

@@ -110,10 +110,13 @@ def _make_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype):
             hl, wl, _ = level_shapes[l]
             win_h, win_w = wins[l]
             scale = 1.0 / strides[l]
-            fx1 = rois_ref[m, 0] * scale
-            fy1 = rois_ref[m, 1] * scale
-            fw = jnp.maximum(rois_ref[m, 2] * scale - fx1, 1.0)
-            fh = jnp.maximum(rois_ref[m, 3] * scale - fy1, 1.0)
+            # rois arrive TRANSPOSED [4, N]: a [N, 4] scalar-prefetch
+            # array lane-pads 4 -> 128 in SMEM (2 MB at N=4096, over the
+            # 1 MB SMEM budget); [4, N] pads only sublanes (4 -> 8)
+            fx1 = rois_ref[0, m] * scale
+            fy1 = rois_ref[1, m] * scale
+            fw = jnp.maximum(rois_ref[2, m] * scale - fx1, 1.0)
+            fh = jnp.maximum(rois_ref[3, m] * scale - fy1, 1.0)
             y0 = jnp.clip(jnp.floor(fy1).astype(jnp.int32) - 1, 0, hl - win_h)
             x0 = jnp.clip(jnp.floor(fx1).astype(jnp.int32) - 1, 0, wl - win_w)
             x0 = pl.multiple_of((x0 // 8) * 8, 8)
@@ -253,7 +256,7 @@ def multilevel_roi_align_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * r, p, p, c), dtype),
         interpret=interpret,
-    )(flat_rois, lvl, bidx, *features)
+    )(flat_rois.T, lvl, bidx, *features)
     return out.reshape(b, r, p, p, c)
 
 
@@ -268,10 +271,11 @@ def multilevel_roi_align_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype):
+def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
+                     window=2 * WINDOW):
     num_levels = len(level_shapes)
     wins = [
-        (min(h, 2 * WINDOW), min(w, 2 * WINDOW + 8))
+        (min(h, window), min(w, window + 8))
         for (h, w, _) in level_shapes
     ]
     c = level_shapes[0][2]
@@ -291,10 +295,13 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype):
             hl, wl, _ = level_shapes[l]
             win_h, win_w = wins[l]
             scale = 1.0 / strides[l]
-            fx1 = rois_ref[m, 0] * scale
-            fy1 = rois_ref[m, 1] * scale
-            fw = jnp.maximum(rois_ref[m, 2] * scale - fx1, 1.0)
-            fh = jnp.maximum(rois_ref[m, 3] * scale - fy1, 1.0)
+            # rois arrive TRANSPOSED [4, N]: a [N, 4] scalar-prefetch
+            # array lane-pads 4 -> 128 in SMEM (2 MB at N=4096, over the
+            # 1 MB SMEM budget); [4, N] pads only sublanes (4 -> 8)
+            fx1 = rois_ref[0, m] * scale
+            fy1 = rois_ref[1, m] * scale
+            fw = jnp.maximum(rois_ref[2, m] * scale - fx1, 1.0)
+            fh = jnp.maximum(rois_ref[3, m] * scale - fy1, 1.0)
             y0 = jnp.clip(jnp.floor(fy1).astype(jnp.int32) - 1, 0, hl - win_h)
             x0 = jnp.clip(jnp.floor(fx1).astype(jnp.int32) - 1, 0, wl - win_w)
             x0 = pl.multiple_of((x0 // 8) * 8, 8)
@@ -352,7 +359,8 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "strides", "output_size", "sampling_ratio", "min_level", "interpret"
+        "strides", "output_size", "sampling_ratio", "min_level", "interpret",
+        "window",
     ),
 )
 def multilevel_roi_align_pallas_bwd(
@@ -364,6 +372,7 @@ def multilevel_roi_align_pallas_bwd(
     sampling_ratio: int = 2,
     min_level: int | None = None,
     interpret: bool = False,
+    window: int = 2 * WINDOW,
 ):
     """d(multilevel_roi_align)/d(features) as a Pallas kernel.
 
@@ -381,14 +390,17 @@ def multilevel_roi_align_pallas_bwd(
     top_h, top_w = features[-1].shape[1:3]
     on_tpu = jax.default_backend() == "tpu" or interpret
     if not on_tpu or top_h > 48 or top_w > 48 or c % 128 != 0:
-        _, vjp = jax.vjp(
+        out, vjp = jax.vjp(
             lambda f: multilevel_roi_align(
                 list(f), rois, list(strides), output_size=output_size,
                 sampling_ratio=sampling_ratio, min_level=min_level,
             ),
             tuple(features),
         )
-        return vjp(g)[0]
+        # the jnp forward accumulates in f32 regardless of feature dtype;
+        # match the cotangent to its output and the results to the inputs
+        d = vjp(g.astype(out.dtype))[0]
+        return tuple(x.astype(f.dtype) for x, f in zip(d, features))
 
     flat_rois = rois.reshape(b * r, 4)
     lvl = assign_fpn_levels(flat_rois, num_levels, min_level).astype(jnp.int32)
@@ -402,7 +414,7 @@ def multilevel_roi_align_pallas_bwd(
     level_shapes = [s[1:] for s in padded_shapes]
     kernel, (wh, ww, _) = _make_bwd_kernel(
         level_shapes, orig_wls, tuple(float(s) for s in strides), p,
-        sampling_ratio, dtype,
+        sampling_ratio, dtype, window=window,
     )
 
     zeros = [jnp.zeros(s, dtype) for s in padded_shapes]
@@ -428,7 +440,7 @@ def multilevel_roi_align_pallas_bwd(
         # accumulate in place into the zero-initialized buffers
         input_output_aliases={4 + i: i for i in range(num_levels)},
         interpret=interpret,
-    )(flat_rois, lvl, bidx, g.reshape(b * r, p, p, c), *zeros)
+    )(flat_rois.T, lvl, bidx, g.reshape(b * r, p, p, c), *zeros)
     return tuple(
         o[:, :, :w0, :] if o.shape[2] != w0 else o
         for o, w0 in zip(outs, orig_wls)
@@ -496,4 +508,18 @@ def _wfwd(features, rois, strides, output_size, sampling_ratio):
     return out, (features, rois)
 
 
-roi_align_window_trainable.defvjp(_wfwd, _bwd)
+def _wbwd(strides, output_size, sampling_ratio, res, g):
+    features, rois = res
+    # window=WINDOW mirrors the windowed forward's 32-cell windows: the
+    # forward clamps samples to that window, so its true gradient support is
+    # the same 32x40 region — and the backward's sequential window DMAs move
+    # 3.6x less data than the fused (64x72) pairing.
+    d_features = multilevel_roi_align_pallas_bwd(
+        g, list(features), rois, strides=tuple(strides),
+        output_size=output_size, sampling_ratio=sampling_ratio,
+        window=WINDOW,
+    )
+    return tuple(d_features), jnp.zeros_like(rois)
+
+
+roi_align_window_trainable.defvjp(_wfwd, _wbwd)

@@ -122,6 +122,49 @@ def test_roi_align_gradients_flow():
     np.testing.assert_allclose(float(g[0, 5, 5, 1]), float(num), rtol=2e-2, atol=1e-3)
 
 
+def roi_pool_oracle(feat, rois, stride, P):
+    """Scalar NumPy dynamic-bin max RoIPool (the algorithm of reference:
+    libs/roi_pooling/src/roi_pooling_kernel.cu forward)."""
+    H, W, C = feat.shape
+    out = np.zeros((len(rois), P, P, C), np.float32)
+    scale = 1.0 / stride
+    for r, roi in enumerate(rois):
+        sx = int(round(roi[0] * scale))
+        sy = int(round(roi[1] * scale))
+        ex = int(round(roi[2] * scale))
+        ey = int(round(roi[3] * scale))
+        rw = max(ex - sx + 1, 1)
+        rh = max(ey - sy + 1, 1)
+        bw, bh = rw / P, rh / P
+        for py in range(P):
+            for px in range(P):
+                h0 = min(max(int(np.floor(py * bh)) + sy, 0), H)
+                h1 = min(max(int(np.ceil((py + 1) * bh)) + sy, 0), H)
+                w0 = min(max(int(np.floor(px * bw)) + sx, 0), W)
+                w1 = min(max(int(np.ceil((px + 1) * bw)) + sx, 0), W)
+                if h1 <= h0 or w1 <= w0:
+                    continue  # empty bin -> 0
+                out[r, py, px] = feat[h0:h1, w0:w1].max(axis=(0, 1))
+    return out
+
+
+def test_roi_pool_matches_dynamic_bin_oracle():
+    rng = np.random.RandomState(7)
+    feat = rng.randn(1, 24, 24, 3).astype(np.float32)
+    rois = np.array([
+        [0.0, 0.0, 95.0, 95.0],       # whole map
+        [28.0, 28.0, 36.0, 36.0],     # tiny (bins < 1 cell, ceil overlap)
+        [10.0, 50.0, 70.0, 61.0],     # wide aspect
+        [-8.0, -4.0, 40.0, 30.0],     # negative start (clipped bins)
+        [60.0, 60.0, 140.0, 150.0],   # extends past the map
+    ], np.float32)
+    for P in (2, 7):
+        got = np.asarray(ra.roi_pool(jnp.asarray(feat), jnp.asarray(rois)[None],
+                                     stride=4, output_size=P))[0]
+        want = roi_pool_oracle(feat[0], rois, 4, P)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_roi_pool_max_semantics():
     # constant feature -> roi_pool returns the constant
     feat = jnp.full((1, 16, 16, 2), 3.0)
