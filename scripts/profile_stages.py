@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="profile fwd+bwd of cumulative LOSS prefixes "
                          "instead of the inference pipeline")
+    ap.add_argument("--set", dest="overrides", nargs="*", default=[],
+                    help="dotted cfg overrides, e.g. roi.align_impl=gather")
     ap.add_argument("--cpu", action="store_true",
                     help="run on host CPU (sanity/syntax check; timings "
                          "meaningless)")
@@ -53,6 +55,10 @@ def main():
     cfg = get_config()
     cfg.model.name = args.model
     cfg.model.dtype = args.dtype
+    if args.overrides:
+        from detectron_tpu.config import cfg_from_list
+
+        cfg_from_list(args.overrides, cfg)
     h = w = args.size
     det = build_detector(cfg)
     model = det.module

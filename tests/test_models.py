@@ -188,6 +188,20 @@ def test_retinanet_exact_vs_approx_topk_same_detections(tiny_cfg):
     for a, b in zip(results[True], results[False]):
         np.testing.assert_allclose(a, b, atol=1e-6)
 
+    # the merged cross-level pre-NMS cap is equally neutral: capping the
+    # 5*100 merged candidates to 200 keeps every confident detection
+    # (only sub-threshold tail candidates drop)
+    cfg.retinanet.merged_pre_nms_topk = 200
+    d = retina.retinanet_inference(outs, anchors_pl, hw, cfg)
+    v = np.asarray(d.valid[0])
+    order = np.lexsort((np.asarray(d.boxes[0])[v][:, 0],
+                        -np.asarray(d.scores[0])[v]))
+    capped = (np.asarray(d.boxes[0])[v][order],
+              np.asarray(d.scores[0])[v][order],
+              np.asarray(d.classes[0])[v][order])
+    for a, b in zip(results[False], capped):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
 
 def test_retinanet_inference_empty_when_no_confident(retinanet_setup):
     cfg, model, params = retinanet_setup
