@@ -25,8 +25,9 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.model.num_classes = 81  # includes background at index 0 (COCO: 80 + 1)
     cfg.model.fpn_channels = 256
     cfg.model.frozen_stages = 1  # freeze conv1+res2 like the reference fine-tune
-    # normalization: frozen BN only (the reference's sole mode — affine
-    # folded from pretrained stats; trainable-norm variants are future work)
+    # normalization: "frozen_bn" (the reference's sole mode — affine folded
+    # from pretrained stats) or "gn" (trainable GroupNorm-32 backbone, the
+    # train-from-scratch variant; GN params stay in the optimizer)
     cfg.model.norm = "frozen_bn"
     # pretrained backbone init: path to a torchvision-style ResNet .pth
     # state dict (the reference always fine-tunes from these; reference:
@@ -41,6 +42,12 @@ def base_config() -> ml_collections.ConfigDict:
     # so defaults stay off until cross-kernel overlap is tuned.
     cfg.model.fused_nms = "off"
     cfg.model.fused_roi_align = "off"
+    # greedy-NMS algorithm for the jnp path: "tiled" (128-box tiles +
+    # in-tile sequential recurrence) or "fixpoint" (iterated [N,N]
+    # self-suppression to the greedy fixpoint, TF-TPU-NMS style - turns the
+    # N-step serial chain into ~chain-depth vectorized passes). Both are
+    # bit-exact greedy; A/B per model in docs/DESIGN.md.
+    cfg.model.nms_algo = "tiled"
 
     # ---------------------------------------------------------------- anchors
     cfg.anchors = ml_collections.ConfigDict()

@@ -40,6 +40,7 @@ def generate_proposals(
     nms_thresh: float = 0.7,
     min_size: float = 0.0,
     nms_impl: str = "jnp",
+    nms_algo: str = "auto",
     exact_topk: bool = False,
 ) -> Proposals:
     """RPN proposals for a batch. Scores are raw logits (monotonic with
@@ -84,11 +85,13 @@ def generate_proposals(
         keep_cap = min(post_nms_topk, pre_nms_topk)
         if nms_impl == "pallas":
             from detectron_tpu.ops.nms_pallas import nms_pallas as nms_fn
+
+            run_nms = lambda b, s, v: nms_fn(b, s, nms_thresh, keep_cap,
+                                             valid=v)
         else:
-            nms_fn = nms_padded
-        idx, keep_valid = jax.vmap(
-            lambda b, s, v: nms_fn(b, s, nms_thresh, keep_cap, valid=v)
-        )(boxes, scores, valid)
+            run_nms = lambda b, s, v: nms_padded(b, s, nms_thresh, keep_cap,
+                                                 valid=v, algo=nms_algo)
+        idx, keep_valid = jax.vmap(run_nms)(boxes, scores, valid)
         kept_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
         kept_scores = jnp.take_along_axis(scores, idx, axis=1)
         kept_scores = jnp.where(keep_valid, kept_scores, -1e10)

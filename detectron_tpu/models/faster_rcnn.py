@@ -225,6 +225,7 @@ def proposals_from_rpn(scores_pl, deltas_pl, anchors_pl, image_hw, cfg,
         nms_thresh=cfg.rpn.nms_thresh,
         min_size=cfg.rpn.min_size,
         nms_impl="pallas" if use_fused_nms(cfg) else "jnp",
+        nms_algo=cfg.model.get("nms_algo", "auto"),
         exact_topk=cfg.rpn.get("exact_topk", False),
     )
 
@@ -287,6 +288,7 @@ def fastrcnn_inference(cls_logits, reg, rois, roi_valid, image_hw, cfg) -> Detec
             cand_boxes, top_s, cand_cls, cfg.test.nms_thresh,
             cfg.test.detections_per_image, valid=cand_valid,
             impl="pallas" if use_fused_nms(cfg) else "jnp",
+            algo=cfg.model.get("nms_algo", "auto"),
         )
         return Detections(
             boxes=jnp.where(keep[:, None], cand_boxes[idx], 0.0),

@@ -211,6 +211,7 @@ def retinanet_inference(outputs, anchors_per_level, image_hw, cfg):
             boxes, scores, classes, cfg.retinanet.nms_thresh,
             cfg.test.detections_per_image, valid=valid,
             impl="pallas" if use_fused_nms(cfg) else "jnp",
+            algo=cfg.model.get("nms_algo", "auto"),
         )
         return Detections(
             boxes=jnp.where(keep_valid[:, None], boxes[idx], 0.0),

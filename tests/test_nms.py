@@ -29,6 +29,42 @@ def test_padded_nms_matches_reference_greedy(seed, thresh):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("thresh", [0.3, 0.5, 0.7])
+@pytest.mark.parametrize("algo", ["tiled", "fixpoint"])
+def test_nms_algos_bit_exact_greedy(seed, thresh, algo):
+    """Every algo yields the oracle keep set, including at N > NMS_TILE
+    (multi-tile / multi-iteration regimes) and chained suppressions."""
+    rng = np.random.RandomState(seed + 10)
+    boxes, scores = random_dets(rng, 300, span=120.0)  # dense -> deep chains
+    dets = np.concatenate([boxes, scores[:, None]], axis=1)
+    want = nms_ops.nms_numpy(dets, thresh)[:300]
+    idx, valid = nms_ops.nms_padded(
+        jnp.asarray(boxes), jnp.asarray(scores), thresh, max_out=300,
+        algo=algo,
+    )
+    got = list(np.asarray(idx)[np.asarray(valid)])
+    assert got == want
+
+
+def test_fixpoint_chain_exactness():
+    # a>b>c suppression chain: a kills b, b would kill c, but b is dead so
+    # greedy KEEPS c — the naive one-pass "suppress by any higher-scored
+    # overlapper" gets this wrong; the fixpoint must not.
+    boxes = np.array([
+        [0.0, 0.0, 10.0, 10.0],   # a (score .9)
+        [4.0, 0.0, 14.0, 10.0],   # b overlaps a (score .8)
+        [8.0, 0.0, 18.0, 10.0],   # c overlaps b, not a (score .7)
+    ], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    idx, valid = nms_ops.nms_padded(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.3, max_out=3,
+        algo="fixpoint",
+    )
+    got = list(np.asarray(idx)[np.asarray(valid)])
+    assert got == [0, 2]
+
+
 def test_padding_entries_never_selected():
     rng = np.random.RandomState(7)
     boxes, scores = random_dets(rng, 20)
