@@ -43,11 +43,14 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.model.fused_nms = "off"
     cfg.model.fused_roi_align = "off"
     # greedy-NMS algorithm for the jnp path: "tiled" (128-box tiles +
-    # in-tile sequential recurrence) or "fixpoint" (iterated [N,N]
-    # self-suppression to the greedy fixpoint, TF-TPU-NMS style - turns the
-    # N-step serial chain into ~chain-depth vectorized passes). Both are
-    # bit-exact greedy; A/B per model in docs/DESIGN.md.
-    cfg.model.nms_algo = "tiled"
+    # in-tile sequential recurrence), "fixpoint" (iterated [N,N]
+    # self-suppression to the greedy fixpoint, TF-TPU-NMS style — turns the
+    # N-step serial chain into ~chain-depth vectorized passes), or "auto"
+    # (site-dependent measured winner: fixpoint for RetinaNet's 2000-box
+    # merged class NMS [132->149 img/s], tiled for RPN proposal NMS and the
+    # R-CNN class NMS where it was neutral-to-negative). All bit-exact
+    # greedy; A/Bs in docs/DESIGN.md.
+    cfg.model.nms_algo = "auto"
 
     # ---------------------------------------------------------------- anchors
     cfg.anchors = ml_collections.ConfigDict()

@@ -207,11 +207,17 @@ def retinanet_inference(outputs, anchors_per_level, image_hw, cfg):
         valid = logits > logit_thresh
         from detectron_tpu.models.faster_rcnn import use_fused_nms
 
+        algo = cfg.model.get("nms_algo", "auto")
+        if algo == "auto":
+            # measured on v5e bs=8: the 2000-candidate merged NMS is the
+            # one site where the fixpoint formulation wins (132 -> 149
+            # img/s); see docs/DESIGN.md round-2 A/Bs
+            algo = "fixpoint"
         idx, keep_valid = class_aware_nms(
             boxes, scores, classes, cfg.retinanet.nms_thresh,
             cfg.test.detections_per_image, valid=valid,
             impl="pallas" if use_fused_nms(cfg) else "jnp",
-            algo=cfg.model.get("nms_algo", "auto"),
+            algo=algo,
         )
         return Detections(
             boxes=jnp.where(keep_valid[:, None], boxes[idx], 0.0),

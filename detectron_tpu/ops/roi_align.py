@@ -20,10 +20,11 @@ Design (SURVEY.md §7):
     clamped to the available levels (the heuristic the reference applies when
     routing RoIs to pyramid levels, SURVEY.md §3.1).
 
-RoIPool deviation note: the reference's RoIPool uses data-dependent integer
-bin boundaries (dynamic shapes). We implement it as max over a fixed dense
-sample grid per bin (same spirit, static shape); RoIAlign is the production
-path and is exact.
+RoIPool is EXACT reference semantics (round-quantized RoI, +1 extent,
+floor/ceil dynamic bin boundaries, empty bins zero): the data-dependent bin
+sizes become static shapes via per-RoI windows + bin-membership masks +
+separable masked max (``multilevel_roi_pool``); oracle-tested against a
+scalar NumPy port of the CUDA kernel's algorithm.
 """
 
 from __future__ import annotations
