@@ -37,16 +37,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Max RoI extent, in feature cells at the assigned level, that the default
+# 32x40 interpolation window of the windowed/Pallas RoIAlign paths can hold
+# (window minus sampling margins). Shared by ALL multilevel pool entry
+# points so every implementation routes RoIs to identical levels.
+DEFAULT_MAX_SPAN = (28.0, 36.0)
+
+
 def assign_fpn_levels(
     rois: jnp.ndarray,
     num_levels: int,
     min_level: int,
     canonical_level: int = 4,
     canonical_scale: float = 224.0,
+    max_span: tuple[float, float] | None = None,
 ) -> jnp.ndarray:
     """Per-RoI pyramid level index in ``[0, num_levels)``.
 
-    rois: [..., 4]. Uses k = floor(k0 + log2(sqrt(wh)/224)).
+    rois: [..., 4]. Uses k = floor(k0 + log2(sqrt(wh)/224)) (the FPN paper
+    heuristic; reference: libs/layers/assign.py lineage).
+
+    max_span: optional (mh, mw) bound, in feature cells. When set, an RoI is
+    promoted to the first level where its height/2^k <= mh AND
+    width/2^k <= mw — i.e. where its sampling span fits a fixed
+    interpolation window. This is a deliberate TPU-first deviation from the
+    pure-area rule: the windowed/Pallas RoIAlign kernels read a static
+    per-RoI window, and without the bound an elongated RoI near the top of
+    a level's size band overflows it (border-replicate error — worst case
+    breaks already at ~1.1:1 aspect, measured ~2.0 abs on ResNet features).
+    With the bound every implementation (gather / windowed / Pallas /
+    RoIPool) is mutually bit-exact for ALL box shapes: the promoted level's
+    span halves per step, and the coarsest level is always used whole.
     """
     w = jnp.maximum(rois[..., 2] - rois[..., 0], 0.0)
     h = jnp.maximum(rois[..., 3] - rois[..., 1], 0.0)
@@ -54,6 +75,12 @@ def assign_fpn_levels(
     k = jnp.floor(
         canonical_level + jnp.log2(scale / canonical_scale + 1e-8)
     ).astype(jnp.int32)
+    if max_span is not None:
+        mh, mw = max_span
+        # smallest absolute level whose cells hold the span: k >= log2(h/mh)
+        kh = jnp.ceil(jnp.log2(jnp.maximum(h, 1.0) / mh) - 1e-6)
+        kw = jnp.ceil(jnp.log2(jnp.maximum(w, 1.0) / mw) - 1e-6)
+        k = jnp.maximum(k, jnp.maximum(kh, kw).astype(jnp.int32))
     return jnp.clip(k - min_level, 0, num_levels - 1)
 
 
@@ -97,6 +124,7 @@ def multilevel_roi_align(
     canonical_level: int = 4,
     canonical_scale: float = 224.0,
     aligned: bool = False,
+    max_span: tuple[float, float] | None = DEFAULT_MAX_SPAN,
 ) -> jnp.ndarray:
     """RoIAlign over an FPN, one fused gather path.
 
@@ -134,7 +162,8 @@ def multilevel_roi_align(
 
     def per_image(feat_flat, rois_i):  # [L, C], [R, 4]
         lvl = assign_fpn_levels(
-            rois_i, num_levels, min_level, canonical_level, canonical_scale
+            rois_i, num_levels, min_level, canonical_level, canonical_scale,
+            max_span=max_span,
         )  # [R]
         scale = 1.0 / strides_arr[lvl]
         H = hs_arr[lvl]
@@ -226,11 +255,12 @@ def multilevel_roi_align_windowed(
     R*wh contiguous (ww*C)-sized slices — the four-corner gather was the
     top hot spot and scaled super-linearly in batch (profile in DESIGN.md).
 
-    Exactness: identical to multilevel_roi_align whenever each RoI's sample
-    span fits its window (guaranteed by the FPN level-assignment bound up to
-    ~5:1 aspect; beyond that samples border-replicate at the window edge) and
-    the coarsest level fits entirely (top_h <= window — checked; falls back
-    otherwise). Oracle-tested in tests/test_roi_align.py.
+    Exactness: identical to multilevel_roi_align for EVERY box shape — the
+    span-aware level assignment (``assign_fpn_levels(max_span=...)``)
+    promotes any RoI whose side would overflow the window to a coarser
+    level, and the coarsest level must fit entirely (top_h <= window —
+    checked; falls back to the gather path otherwise). Oracle-tested in
+    tests/test_roi_align.py including elongated band-top boxes.
     """
     num_levels = len(features)
     if min_level is None:
@@ -242,13 +272,15 @@ def multilevel_roi_align_windowed(
 
     hs = np.array([f.shape[1] for f in features])
     ws = np.array([f.shape[2] for f in features])
-    if hs[-1] > window or ws[-1] > window + 8:
+    win_h, win_w = window, window + 8
+    max_span = (float(win_h - 4), float(win_w - 4))
+    if hs[-1] > win_h or ws[-1] > win_w:
         # coarsest level must fit whole (top-clamped RoI spans are unbounded)
         return multilevel_roi_align(
             list(features), rois, list(strides), output_size=output_size,
             sampling_ratio=sampling_ratio, min_level=min_level,
+            max_span=max_span,
         )
-    win_h, win_w = window, window + 8
     offsets = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
     flat = jnp.concatenate([f.reshape(b, -1, c) for f in features], axis=1)
     # zero tail so end-of-table windows never clamp their slice starts
@@ -264,7 +296,8 @@ def multilevel_roi_align_windowed(
     off_arr = jnp.asarray(offsets.astype(np.int32))
 
     def per_image(feat_flat, rois_i):  # [Lpad, C], [R, 4]
-        lvl = assign_fpn_levels(rois_i, num_levels, min_level)
+        lvl = assign_fpn_levels(rois_i, num_levels, min_level,
+                                max_span=max_span)
         scale = 1.0 / strides_arr[lvl]
         hl, wl = hs_f[lvl], ws_f[lvl]
         hli, wli = hs_i[lvl], ws_i[lvl]
@@ -289,17 +322,22 @@ def multilevel_roi_align_windowed(
 
         win = jax.vmap(jax.vmap(row_slice))(start)  # [R, wh, ww, C]
         win = win.astype(jnp.float32)
+        # HIGHEST precision: TPU f32 matmuls default to single-pass bf16
+        # (~1e-2 interpolation error, caught by scripts/tpu_smoke.py); the
+        # Pallas kernel makes the same choice for the same reason.
         # t[r, p, x, ch] = sum_y wy[r, p, y] win[r, y, x, ch]
         t = jax.lax.dot_general(
             wy, win.reshape(r, win_h, win_w * c),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(r, p, win_w, c)
         # out[r, p, q, ch] = sum_x wx[r, q, x] t[r, p, x, ch]
         out = jax.lax.dot_general(
             wx, t,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [R, Q, P, C] with dims (batch r, q, p, c)
         return jnp.transpose(out, (0, 2, 1, 3)).astype(dtype)
 
@@ -363,9 +401,9 @@ def multilevel_roi_pool(
     RoIAlign does: one row-slice gather builds per-RoI [wh, ww, C] windows
     from the flat level table, then per-bin membership masks + a separable
     masked max (rows, then cols) reproduce the variable-size bin max. RoIs
-    spanning more than `window` cells at their assigned level degrade
-    gracefully (out-of-window cells drop from the max; FPN level assignment
-    keeps spans within the window for aspect ratios up to ~4:1).
+    spanning more than `window` cells at their assigned level cannot occur:
+    the span-aware level assignment (max_span) promotes such RoIs to a
+    coarser level, the same routing as the RoIAlign paths.
     """
     num_levels = len(features)
     if min_level is None:
@@ -378,6 +416,7 @@ def multilevel_roi_pool(
     hs = np.array([f.shape[1] for f in features])
     ws = np.array([f.shape[2] for f in features])
     win_h, win_w = window, window + 8
+    max_span = (float(win_h - 4), float(win_w - 4))
     offsets = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
     flat = jnp.concatenate([f.reshape(b, -1, c) for f in features], axis=1)
     flat = jnp.pad(flat, ((0, 0), (0, win_h * int(ws.max()) + win_w), (0, 0)))
@@ -389,7 +428,8 @@ def multilevel_roi_pool(
     neg = jnp.asarray(np.finfo(np.float32).min, jnp.float32)
 
     def per_image(feat_flat, rois_i):  # [Lpad, C], [R, 4]
-        lvl = assign_fpn_levels(rois_i, num_levels, min_level)
+        lvl = assign_fpn_levels(rois_i, num_levels, min_level,
+                                max_span=max_span)
         scale = 1.0 / strides_arr[lvl]
         hli, wli = hs_i[lvl], ws_i[lvl]
         off = off_arr[lvl]

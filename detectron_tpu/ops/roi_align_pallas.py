@@ -38,7 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from detectron_tpu.ops.roi_align import assign_fpn_levels, multilevel_roi_align
+from detectron_tpu.ops.roi_align import (
+    DEFAULT_MAX_SPAN, assign_fpn_levels, multilevel_roi_align)
 
 WINDOW = 32  # feature-cell window for non-coarsest levels (see docstring)
 
@@ -82,10 +83,11 @@ def _make_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype):
     # dims), so x-windows get +8 slack and starts are floored to 8; the
     # H dim is untiled and needs no slack. Levels that fit in 48 cells are
     # used WHOLE (exactness for the clamped coarsest level, where RoI spans
-    # are unbounded). Larger levels: the level-assignment heuristic bounds
-    # sqrt(w*h)/stride < 28, so a 64-cell window is exact up to ~5:1 aspect
-    # ratio; beyond that, samples border-replicate at the window edge (the
-    # _interp_matrix clamp) — a bounded approximation for extreme shapes.
+    # are unbounded). Larger levels: the span-aware level assignment
+    # (assign_fpn_levels(max_span=DEFAULT_MAX_SPAN)) bounds every RoI's
+    # span to 28x36 cells at its assigned level, so the 64-cell window is
+    # exact for ALL box shapes (the 32x40 XLA-windowed path uses the same
+    # bound; the two paths route identically and stay bit-comparable).
     wins = [
         (min(h, 2 * WINDOW), min(w, 2 * WINDOW + 8))
         for (h, w, _) in level_shapes
@@ -209,7 +211,8 @@ def multilevel_roi_align_pallas(
     dtype = features[0].dtype
 
     flat_rois = rois.reshape(b * r, 4)
-    lvl = assign_fpn_levels(flat_rois, num_levels, min_level).astype(jnp.int32)
+    lvl = assign_fpn_levels(flat_rois, num_levels, min_level,
+                            max_span=DEFAULT_MAX_SPAN).astype(jnp.int32)
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
 
     # exactness guard: the coarsest level must fit its window whole, since
@@ -403,7 +406,8 @@ def multilevel_roi_align_pallas_bwd(
         return tuple(x.astype(f.dtype) for x, f in zip(d, features))
 
     flat_rois = rois.reshape(b * r, 4)
-    lvl = assign_fpn_levels(flat_rois, num_levels, min_level).astype(jnp.int32)
+    lvl = assign_fpn_levels(flat_rois, num_levels, min_level,
+                            max_span=DEFAULT_MAX_SPAN).astype(jnp.int32)
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
 
     orig_wls = tuple(f.shape[2] for f in features)

@@ -272,6 +272,41 @@ def test_windowed_matmul_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-4)
 
 
+def test_windowed_exact_for_elongated_band_top_boxes():
+    """Regression: elongated RoIs near the top of a level's size band used
+    to overflow the 32x40 window (border-replicate errors ~2.0 abs, caught
+    on real TPU by scripts/tpu_smoke.py's predecessor drive). The
+    span-aware level assignment promotes them; windowed must now equal the
+    gather path exactly for arbitrary aspect ratios."""
+    rng = np.random.RandomState(3)
+    feats = [jnp.asarray(rng.randn(1, 256 >> i, 256 >> i, 16), jnp.float32)
+             for i in range(4)]
+    strides = (4, 8, 16, 32)
+    boxes = np.array(
+        [
+            [577.8, 602.5, 937.9, 737.3],   # w=360 h=135, band-top at P3
+            [521.9, 720.8, 646.2, 1023.0],  # tall 124x302
+            [668.0, 276.5, 728.6, 426.0],   # tall at P2
+            [10.0, 500.0, 1010.0, 540.0],   # 25:1 ribbon
+            [100.0, 100.0, 100.0, 100.0],   # degenerate
+        ],
+        np.float32,
+    )
+    rois = jnp.asarray(boxes)[None]
+    want = ra.multilevel_roi_align(feats, rois, strides)
+    got = ra.multilevel_roi_align_windowed(feats, rois, strides)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_span_aware_level_promotion():
+    # 360x135 box: area rule says P3 (span 45 cells > 36) -> promoted to P4
+    rois = jnp.array([[0.0, 0.0, 360.0, 135.0], [0.0, 0.0, 100.0, 100.0]])
+    area_only = ra.assign_fpn_levels(rois, 4, 2, max_span=None)
+    bounded = ra.assign_fpn_levels(rois, 4, 2, max_span=(28.0, 36.0))
+    assert list(np.asarray(area_only)) == [1, 0]
+    assert list(np.asarray(bounded)) == [2, 0]
+
+
 def test_windowed_falls_back_when_top_level_large():
     rng = np.random.RandomState(2)
     feats = [jnp.asarray(rng.randn(1, 256 >> i, 256 >> i, 32), jnp.float32)
