@@ -322,22 +322,28 @@ def multilevel_roi_align_windowed(
 
         win = jax.vmap(jax.vmap(row_slice))(start)  # [R, wh, ww, C]
         win = win.astype(jnp.float32)
-        # HIGHEST precision: TPU f32 matmuls default to single-pass bf16
-        # (~1e-2 interpolation error, caught by scripts/tpu_smoke.py); the
-        # Pallas kernel makes the same choice for the same reason.
+        # TPU f32 matmuls default to ONE bf16 MXU pass (~1e-2 interpolation
+        # error, caught on hardware by scripts/tpu_smoke.py). f32 features
+        # get HIGHEST (6-pass, bit-exact vs the gather oracle). bf16
+        # features (the production detector path) get HIGH (3-pass): the
+        # window values are bf16-exact so the dropped low x low cross term
+        # is ~0 — measured 5e-6 relative on device, noise next to the 4e-3
+        # bf16 feature quantization — at half the MXU cost of HIGHEST.
+        prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                else jax.lax.Precision.HIGH)
         # t[r, p, x, ch] = sum_y wy[r, p, y] win[r, y, x, ch]
         t = jax.lax.dot_general(
             wy, win.reshape(r, win_h, win_w * c),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ).reshape(r, p, win_w, c)
         # out[r, p, q, ch] = sum_x wx[r, q, x] t[r, p, x, ch]
         out = jax.lax.dot_general(
             wx, t,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # [R, Q, P, C] with dims (batch r, q, p, c)
         return jnp.transpose(out, (0, 2, 1, 3)).astype(dtype)
 
