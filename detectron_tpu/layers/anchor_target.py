@@ -112,11 +112,26 @@ def anchor_target_single(
         cls_w = (pos | neg).astype(jnp.float32)  # in-between stays ignored
         pos_w = pos.astype(jnp.float32)
 
+    # Gather gt rows by per-anchor index as a one-hot matmul: a [N]-row
+    # dynamic gather with 4-wide rows lowers to ~12-15 ms serialized
+    # fusions on TPU at N=262k (profiled ~26 ms of the train step); the
+    # [N, G] one-hot contraction is fused by XLA and costs ~0.1 ms.
+    # HIGHEST precision: coordinates must not be bf16-quantized.
+    g = gt_boxes.shape[0]
+    onehot = (matched[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :])
+    gt_rows = jax.lax.dot_general(
+        onehot.astype(jnp.float32),
+        jnp.concatenate(
+            [gt_boxes, gt_classes.astype(jnp.float32)[:, None]], axis=1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, 5]: matched gt box + class
     labels = jnp.where(
-        pos, gt_classes[matched].astype(jnp.int32), jnp.where(neg, 0, -1)
+        pos, gt_rows[:, 4].astype(jnp.int32), jnp.where(neg, 0, -1)
     )
     targets = box_ops.encode_boxes(
-        gt_boxes[matched], anchors, weights=box_weights, offset=offset
+        gt_rows[:, :4], anchors, weights=box_weights, offset=offset
     )
     targets = jnp.where(pos[:, None], targets, 0.0)
     return AnchorTargets(

@@ -36,33 +36,39 @@ def crop_gt_masks_to_rois(
     u = (x - g[:, 0:1]) / gw[:, None] * m0 - 0.5  # [S, r]
     v = (y - g[:, 1:2]) / gh[:, None] * m0 - 0.5
 
-    def bil_1d(c):
+    # Separable bilinear as two batched MXU matmuls, exactly like the
+    # windowed RoIAlign: a tent-weight interpolation matrix per axis
+    # (weight at integer cell k = max(0, 1 - |k - c|) equals the classic
+    # two-corner (1-f, f) split for any clipped coordinate, including the
+    # c == m0-1 border where both corners coincide). The previous
+    # four-corner double take_along_axis formulation lowered to four
+    # ~11 ms serialized [S*r*r] gathers on TPU (profiled: ~45 ms of the
+    # 300 ms train step); the matmuls are ~0.1 ms.
+    def interp_matrix(c):  # [S, r] -> [S, r, m0]
         inb = (c > -1.0) & (c < m0)
         cc = jnp.clip(c, 0.0, m0 - 1.0)
-        i0 = jnp.clip(jnp.floor(cc).astype(jnp.int32), 0, m0 - 1)
-        i1 = jnp.minimum(i0 + 1, m0 - 1)
-        f = cc - i0
-        return i0, i1, 1.0 - f, f, inb
+        grid = jnp.arange(m0, dtype=cc.dtype)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(grid[None, None, :] - cc[:, :, None]))
+        return jnp.where(inb[:, :, None], w, 0.0)
 
-    u0, u1, wu0, wu1, uin = bil_1d(u)
-    v0, v1, wv0, wv1, vin = bil_1d(v)
+    wu = interp_matrix(u)  # [S, r, M0]
+    wv = interp_matrix(v)  # [S, r, M0]
+    masks = gt_masks[matched_idx].astype(jnp.float32)  # [S, M0, M0]
 
-    masks = gt_masks[matched_idx]  # [S, M0, M0]
-
-    def corner(vi, ui, wv, wu):
-        vals = jnp.take_along_axis(
-            jnp.take_along_axis(masks, vi[:, :, None], axis=1),
-            ui[:, None, :].repeat(r, 1), axis=2,
-        )
-        return vals * (wv[:, :, None] * wu[:, None, :])
-
-    out = (
-        corner(v0, u0, wv0, wu0)
-        + corner(v0, u1, wv0, wu1)
-        + corner(v1, u0, wv1, wu0)
-        + corner(v1, u1, wv1, wu1)
+    # t[s, i, x] = sum_y wv[s, i, y] masks[s, y, x]
+    t = jax.lax.dot_general(
+        wv, masks,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    out = jnp.where(vin[:, :, None] & uin[:, None, :], out, 0.0)
+    # out[s, i, j] = sum_x t[s, i, x] wu[s, j, x]
+    out = jax.lax.dot_general(
+        t, wu,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return (out >= 0.5).astype(jnp.float32)
 
 

@@ -321,28 +321,44 @@ def multilevel_roi_align_windowed(
             return jax.lax.dynamic_slice(feat_flat, (st, 0), (win_w, c))
 
         win = jax.vmap(jax.vmap(row_slice))(start)  # [R, wh, ww, C]
-        win = win.astype(jnp.float32)
-        # TPU f32 matmuls default to ONE bf16 MXU pass (~1e-2 interpolation
-        # error, caught on hardware by scripts/tpu_smoke.py). f32 features
-        # get HIGHEST (6-pass, bit-exact vs the gather oracle). bf16
-        # features (the production detector path) get HIGH (3-pass): the
-        # window values are bf16-exact so the dropped low x low cross term
-        # is ~0 — measured 5e-6 relative on device, noise next to the 4e-3
-        # bf16 feature quantization — at half the MXU cost of HIGHEST.
-        prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
-                else jax.lax.Precision.HIGH)
+        # NB a "simpler" 1-D formulation (slice (ww*C,) runs off the
+        # flattened table) measured 5x SLOWER end-to-end: XLA's 1-D
+        # dynamic-slice path loses the (8,128)-tiled 2-D DMA. Keep the 2-D
+        # slices and hand the 4-D window straight to dot_general below so
+        # any layout fix folds into the matmul instead of a manual
+        # reshape+copy (~16 ms/step of pure layout work, profiled).
+        if dtype == jnp.float32:
+            # Exact path (the oracle contract): TPU f32 matmuls default to
+            # ONE bf16 MXU pass (~1e-2 interpolation error, caught on
+            # hardware by scripts/tpu_smoke.py) — force 6-pass HIGHEST.
+            wy_m, wx_m = wy, wx
+            win = win.astype(jnp.float32)
+            acc, prec = jnp.float32, jax.lax.Precision.HIGHEST
+        else:
+            # bf16 production path: native single-pass bf16 matmuls with
+            # f32 MXU accumulation, bf16 intermediates. Casting the
+            # interpolation weights to bf16 perturbs effective sample
+            # positions by ~2^-9 of a cell and the output by ~2e-3
+            # relative — the same order as the bf16 feature quantization
+            # itself (neutrality vs the f32 oracle is asserted in
+            # tests/test_roi_align.py::test_windowed_bf16_close_to_f32).
+            # This keeps the [R, P, ww, C] intermediate in bf16: at bs=8 /
+            # 512 RoIs the f32 version materialized 1.2 GB + layout
+            # copies (~14 ms/step).
+            wy_m, wx_m = wy.astype(dtype), wx.astype(dtype)
+            acc, prec = dtype, jax.lax.Precision.DEFAULT
         # t[r, p, x, ch] = sum_y wy[r, p, y] win[r, y, x, ch]
         t = jax.lax.dot_general(
-            wy, win.reshape(r, win_h, win_w * c),
+            wy_m, win,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
             precision=prec,
-        ).reshape(r, p, win_w, c)
+        )  # [R, P, ww, C]
         # out[r, p, q, ch] = sum_x wx[r, q, x] t[r, p, x, ch]
         out = jax.lax.dot_general(
-            wx, t,
+            wx_m, t,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
             precision=prec,
         )  # [R, Q, P, C] with dims (batch r, q, p, c)
         return jnp.transpose(out, (0, 2, 1, 3)).astype(dtype)

@@ -67,10 +67,10 @@ def main():
         @jax.jit
         def step(st, i):
             k = jax.random.fold_in(key, i)
-            (_, ld), grads = jax.value_and_grad(
+            (total, _), grads = jax.value_and_grad(
                 lambda p: det.loss_fn(p, batch, k), has_aux=True
             )(st.params)
-            return apply_gradients(st, grads, tx), ld["loss_total"]
+            return apply_gradients(st, grads, tx), total
 
         state, _ = step(state, 0)  # compile + warm
         jax.block_until_ready(state.params)

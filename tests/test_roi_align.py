@@ -307,6 +307,23 @@ def test_span_aware_level_promotion():
     assert list(np.asarray(bounded)) == [2, 0]
 
 
+def test_windowed_bf16_close_to_f32():
+    """The bf16 windowed path (bf16 weights, native bf16 matmuls) must stay
+    within bf16 quantization distance of the exact f32 result."""
+    rng = np.random.RandomState(4)
+    feats32 = [jnp.asarray(rng.randn(1, 64 >> i, 64 >> i, 32), jnp.float32)
+               for i in range(4)]
+    feats16 = [f.astype(jnp.bfloat16) for f in feats32]
+    rois = np.array([[8.0, 8.0, 60.0, 40.0], [0.0, 0.0, 250.0, 200.0],
+                     [30.0, 5.0, 90.0, 120.0]], np.float32)[None]
+    rois = jnp.asarray(rois)
+    exact = np.asarray(ra.multilevel_roi_align_windowed(
+        feats32, rois, (4, 8, 16, 32)))
+    fast = np.asarray(ra.multilevel_roi_align_windowed(
+        feats16, rois, (4, 8, 16, 32)).astype(jnp.float32))
+    np.testing.assert_allclose(fast, exact, atol=3e-2)
+
+
 def test_windowed_falls_back_when_top_level_large():
     rng = np.random.RandomState(2)
     feats = [jnp.asarray(rng.randn(1, 256 >> i, 256 >> i, 32), jnp.float32)
