@@ -290,9 +290,38 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
         # refs[1 : 1+L] are the zero-init inputs; the OUTPUT refs follow
         # (aliased to the same buffers) — all RMW goes through the outputs
         dfeat_refs = refs[1 + num_levels : 1 + 2 * num_levels]
-        win_scratch = refs[1 + 2 * num_levels]  # [wh, ww, C]
-        sems = refs[2 + 2 * num_levels]  # DMA sems [2] (read, write)
+        win_scratch = refs[1 + 2 * num_levels]  # [2, wh, ww, C] double buffer
+        meta = refs[2 + 2 * num_levels]  # SMEM [8] i32: prev window rect
+        sems = refs[3 + 2 * num_levels]  # DMA sems [2] (read, write)
         n = pl.program_id(0)
+        n_total = pl.num_programs(0)
+        slot = jax.lax.rem(n, 2)
+
+        @pl.when(n == 0)
+        def _():
+            meta[4] = 0  # no previous window
+
+        def drain_prev(cond):
+            """Wait the previous program's window write-back. The DMA wait
+            needs the original descriptor's byte count, which depends on
+            the PREVIOUS RoI's (static per-level) window size — reconstruct
+            it from the SMEM metadata, branching over the level."""
+            for l2 in range(num_levels):
+                p_h, p_w = wins[l2]
+
+                @pl.when(cond & (meta[1] == l2))
+                def _():
+                    # the stored x0 was floored to 8 before the write; the
+                    # SMEM round-trip loses that fact — re-annotate so
+                    # Mosaic can prove the lane-tiling divisibility
+                    px0 = pl.multiple_of((meta[3] // 8) * 8, 8)
+                    pregion = dfeat_refs[l2].at[
+                        meta[0], pl.ds(meta[2], p_h), pl.ds(px0, p_w), :
+                    ]
+                    psrc = win_scratch.at[
+                        1 - slot, pl.ds(0, p_h), pl.ds(0, p_w), :
+                    ]
+                    pltpu.make_async_copy(psrc, pregion, sems.at[1]).wait()
 
         def window_geom(m, l):
             hl, wl, _ = level_shapes[l]
@@ -318,10 +347,31 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
             @pl.when(lvl_ref[n] == l)
             def _():
                 fx1, fy1, fw, fh, y0, x0 = window_geom(n, l)
+                # Software pipeline with hazard detection: the previous
+                # program's window write-back is still in flight. It only
+                # has to land before OUR read if the two windows alias
+                # (same image, same level, rectangles intersect) — for
+                # typical RoI batches that is rare, so read(n) + the
+                # interpolation matmuls usually overlap write(n-1). The
+                # strictly-serialized version measured 30 ms/step at bs=8
+                # (the #1 non-conv cost in the train profile).
+                # a conflicting in-flight write must be same image AND same
+                # level (so its window dims equal this branch's static
+                # win_h/win_w) with intersecting rectangles
+                hazard = (
+                    (meta[4] == 1)
+                    & (meta[0] == bidx_ref[n])
+                    & (meta[1] == l)
+                    & (y0 < meta[2] + win_h) & (meta[2] < y0 + win_h)
+                    & (x0 < meta[3] + win_w) & (meta[3] < x0 + win_w)
+                )
+                pending = (n > 0) & (meta[4] == 1)
+                drain_prev(pending & hazard)
+
                 region = dfeat_refs[l].at[
                     bidx_ref[n], pl.ds(y0, win_h), pl.ds(x0, win_w), :
                 ]
-                dst = win_scratch.at[pl.ds(0, win_h), pl.ds(0, win_w), :]
+                dst = win_scratch.at[slot, pl.ds(0, win_h), pl.ds(0, win_w), :]
                 read = pltpu.make_async_copy(region, dst, sems.at[0])
                 read.start()
                 wy = _interp_matrix(fy1, fh, y0, win_h, hl, pool, ratio)
@@ -345,16 +395,28 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
                 )  # [win_w, win_h, c]
                 d_win = jnp.transpose(d_win, (1, 0, 2))  # [win_h, win_w, c]
                 read.wait()
-                acc = win_scratch[pl.ds(0, win_h), pl.ds(0, win_w), :]
-                win_scratch[pl.ds(0, win_h), pl.ds(0, win_w), :] = (
+                acc = win_scratch[slot, pl.ds(0, win_h), pl.ds(0, win_w), :]
+                win_scratch[slot, pl.ds(0, win_h), pl.ds(0, win_w), :] = (
                     acc.astype(jnp.float32) + d_win
                 ).astype(out_dtype)
+
+                # drain the previous write before reusing its semaphore
+                # (exactly one wait per outstanding write: either the
+                # hazard wait above or this one)
+                drain_prev(pending & ~hazard)
+
                 write = pltpu.make_async_copy(dst, region, sems.at[1])
                 write.start()
-                # the next program may read an overlapping window: the write
-                # must land before this program ends (sequential grid order
-                # is the only synchronization between programs)
-                write.wait()
+                meta[0] = bidx_ref[n]
+                meta[1] = l
+                meta[2] = y0
+                meta[3] = x0
+                meta[4] = 1
+
+                # last program: its write must land before the kernel ends
+                @pl.when(n == n_total - 1)
+                def _():
+                    write.wait()
 
     return kernel, (max_wh, max_ww, c)
 
@@ -433,7 +495,8 @@ def multilevel_roi_align_pallas_bwd(
             pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)
         ],
         scratch_shapes=[
-            pltpu.VMEM((wh, ww, c), dtype),
+            pltpu.VMEM((2, wh, ww, c), dtype),
+            pltpu.SMEM((8,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -91,6 +91,28 @@ def check_roialign():
                                    rtol=1e-3, atol=1e-3)
     print("roialign bwd [pallas scatter-add == jnp VJP]: ok")
 
+    # hazard stress for the pipelined backward: a dense cluster of mutually
+    # overlapping RoIs (every consecutive pair aliases -> the write-back of
+    # program n-1 MUST land before program n reads; a race shows up as a
+    # lost accumulation). Plus a few disjoint ones to exercise the
+    # no-hazard fast path in the same launch.
+    ov = rng.uniform(40, 60, (1, 48, 4)).astype(np.float32)
+    ov[..., 2:] = ov[..., :2] + rng.uniform(30, 50, (1, 48, 2))
+    ov[0, -4:] = [[8, 8, 40, 40], [160, 8, 200, 40],
+                  [8, 160, 40, 200], [160, 160, 200, 200]]
+    ov = jnp.asarray(ov)
+    g2 = jnp.asarray(rng.randn(1, 48, *ref.shape[2:]), jnp.float32)
+    _, vjp2 = jax.vjp(
+        lambda f: multilevel_roi_align(list(f), ov, list(strides)),
+        tuple(feats))
+    want2 = vjp2(g2)[0]
+    got2 = jax.jit(lambda gg, f, r: multilevel_roi_align_pallas_bwd(
+        gg, f, r, strides=strides))(g2, list(feats), ov)
+    for w, o in zip(want2, got2):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(w),
+                                   rtol=1e-3, atol=1e-3)
+    print("roialign bwd [overlap hazard stress]: ok")
+
 
 def check_fused_predict():
     from detectron_tpu.config import get_config
