@@ -68,6 +68,8 @@ def main():
 
         cfg_from_list(args.overrides, cfg)
     h = w = args.size
+    bb = {"resnet50": "R-50-FPN", "resnet101": "R-101-FPN"}.get(
+        cfg.model.backbone, cfg.model.backbone)
     det = build_detector(cfg)
     params = det.init(jax.random.key(0), (h, w))
     # params stay fp32 (master copy); cfg.model.dtype casts compute to bf16
@@ -115,7 +117,7 @@ def main():
         dt = max(time.perf_counter() - t0 - roundtrip, 1e-9)
         img_s = args.batch * args.iters / dt
         out.update(
-            metric=f"{args.model} R-50-FPN inference images/sec/chip "
+            metric=f"{args.model} {bb} inference images/sec/chip "
                    f"({h}x{w}, bs={args.batch}, {args.dtype}, "
                    f"{jax.devices()[0].platform})",
             value=round(img_s, 2),
@@ -164,7 +166,7 @@ def main():
         out["train_vs_baseline"] = round(tr_img_s / A100_BASELINE_TRAIN_IMG_S, 3)
         if args.mode == "train":
             out.update(
-                metric=f"{args.model} R-50-FPN train images/sec/chip "
+                metric=f"{args.model} {bb} train images/sec/chip "
                        f"({h}x{w}, bs={train_batch_size}, {args.dtype})",
                 value=out["train_img_s_chip"],
                 unit="images/sec",

@@ -22,6 +22,12 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.model = ml_collections.ConfigDict()
     cfg.model.name = "faster_rcnn"  # faster_rcnn | mask_rcnn | retinanet
     cfg.model.backbone = "resnet50"  # resnet50 | resnet101
+    # stem: "s2d" reformulates the 7x7/2 conv space-to-depth (exact, same
+    # params; the 3-channel 7x7 runs the MXU at ~2% occupancy). Measured
+    # (bs=8 1024^2 bf16): train 193.4 -> 189.8 ms but inference 122.5 ->
+    # 118.5 img/s (the blocked layout propagates into stage 1) — default
+    # "conv" optimizes the inference headline; flip for train-heavy runs.
+    cfg.model.stem = "conv"
     cfg.model.num_classes = 81  # includes background at index 0 (COCO: 80 + 1)
     cfg.model.fpn_channels = 256
     cfg.model.frozen_stages = 1  # freeze conv1+res2 like the reference fine-tune

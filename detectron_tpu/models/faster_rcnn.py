@@ -82,6 +82,7 @@ class TwoStageDetector(nn.Module):
 
     num_classes: int
     backbone: str = "resnet50"
+    stem: str = "conv"
     frozen_stages: int = 1
     channels: int = 256
     num_anchors: int = 3
@@ -98,7 +99,8 @@ class TwoStageDetector(nn.Module):
     def setup(self):
         self.body = ResNet(
             depth=self.backbone, frozen_stages=self.frozen_stages,
-            norm=self.norm, dtype=self.dtype, name="backbone",
+            norm=self.norm, stem=self.stem, dtype=self.dtype,
+            name="backbone",
         )
         self.neck = FPN(channels=self.channels, levels="p2p6",
                         dtype=self.dtype, name="fpn")
@@ -176,6 +178,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
     return TwoStageDetector(
         num_classes=cfg.model.num_classes,
         backbone=cfg.model.backbone,
+        stem=cfg.model.get("stem", "conv"),
         frozen_stages=cfg.model.frozen_stages,
         channels=cfg.model.fpn_channels,
         num_anchors=len(cfg.anchors.ratios) * len(cfg.anchors.rpn_scales),

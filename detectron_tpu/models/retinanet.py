@@ -83,6 +83,7 @@ class RetinaNet(nn.Module):
 
     num_classes: int = 80  # foreground classes
     backbone: str = "resnet50"
+    stem: str = "conv"
     frozen_stages: int = 1
     channels: int = 256
     num_anchors: int = 9  # must match the anchor generator's anchors/cell
@@ -94,7 +95,8 @@ class RetinaNet(nn.Module):
     def __call__(self, images):
         feats = ResNet(
             depth=self.backbone, frozen_stages=self.frozen_stages,
-            norm=self.norm, dtype=self.dtype, name="backbone",
+            norm=self.norm, stem=self.stem, dtype=self.dtype,
+            name="backbone",
         )(images)
         levels = FPN(
             channels=self.channels, levels="p3p7", dtype=self.dtype, name="fpn"

@@ -50,6 +50,7 @@ class Detector:
                 * len(cfg.anchors.retinanet_scales),
                 prior_prob=cfg.retinanet.prior_prob,
                 norm=cfg.model.get("norm", "frozen_bn"),
+                stem=cfg.model.get("stem", "conv"),
                 dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
             )
 

@@ -275,7 +275,7 @@ def multilevel_roi_align_pallas(
 
 
 def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
-                     window=2 * WINDOW):
+                     window=2 * WINDOW, kbatch=1):
     num_levels = len(level_shapes)
     wins = [
         (min(h, window), min(w, window + 8))
@@ -286,7 +286,7 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
     max_ww = max(w[1] for w in wins)
 
     def kernel(rois_ref, lvl_ref, bidx_ref, *refs):
-        g_ref = refs[0]  # [1, pool, pool, c] VMEM block for this RoI
+        g_ref = refs[0]  # [kbatch, pool, pool, c] VMEM block
         # refs[1 : 1+L] are the zero-init inputs; the OUTPUT refs follow
         # (aliased to the same buffers) — all RMW goes through the outputs
         dfeat_refs = refs[1 + num_levels : 1 + 2 * num_levels]
@@ -295,14 +295,13 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
         sems = refs[3 + 2 * num_levels]  # DMA sems [2] (read, write)
         n = pl.program_id(0)
         n_total = pl.num_programs(0)
-        slot = jax.lax.rem(n, 2)
 
         @pl.when(n == 0)
         def _():
             meta[4] = 0  # no previous window
 
-        def drain_prev(cond):
-            """Wait the previous program's window write-back. The DMA wait
+        def drain_prev(cond, slot):
+            """Wait the previous RoI's window write-back. The DMA wait
             needs the original descriptor's byte count, which depends on
             the PREVIOUS RoI's (static per-level) window size — reconstruct
             it from the SMEM metadata, branching over the level."""
@@ -339,84 +338,102 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
             x0 = pl.multiple_of((x0 // 8) * 8, 8)
             return fx1, fy1, fw, fh, y0, x0
 
-        for l in range(num_levels):
-            hl, wl, _ = level_shapes[l]
-            wl_clamp = orig_wls[l]
-            win_h, win_w = wins[l]
+        def process_roi(m, k, slot, last):
+            """One RoI's RMW. m: global index; k: row in the g block;
+            slot: static scratch parity; last: final RoI of the grid."""
+            for l in range(num_levels):
+                hl, wl, _ = level_shapes[l]
+                wl_clamp = orig_wls[l]
+                win_h, win_w = wins[l]
 
-            @pl.when(lvl_ref[n] == l)
-            def _():
-                fx1, fy1, fw, fh, y0, x0 = window_geom(n, l)
-                # Software pipeline with hazard detection: the previous
-                # program's window write-back is still in flight. It only
-                # has to land before OUR read if the two windows alias
-                # (same image, same level, rectangles intersect) — for
-                # typical RoI batches that is rare, so read(n) + the
-                # interpolation matmuls usually overlap write(n-1). The
-                # strictly-serialized version measured 30 ms/step at bs=8
-                # (the #1 non-conv cost in the train profile).
-                # a conflicting in-flight write must be same image AND same
-                # level (so its window dims equal this branch's static
-                # win_h/win_w) with intersecting rectangles
-                hazard = (
-                    (meta[4] == 1)
-                    & (meta[0] == bidx_ref[n])
-                    & (meta[1] == l)
-                    & (y0 < meta[2] + win_h) & (meta[2] < y0 + win_h)
-                    & (x0 < meta[3] + win_w) & (meta[3] < x0 + win_w)
-                )
-                pending = (n > 0) & (meta[4] == 1)
-                drain_prev(pending & hazard)
-
-                region = dfeat_refs[l].at[
-                    bidx_ref[n], pl.ds(y0, win_h), pl.ds(x0, win_w), :
-                ]
-                dst = win_scratch.at[slot, pl.ds(0, win_h), pl.ds(0, win_w), :]
-                read = pltpu.make_async_copy(region, dst, sems.at[0])
-                read.start()
-                wy = _interp_matrix(fy1, fh, y0, win_h, hl, pool, ratio)
-                wx = _interp_matrix(fx1, fw, x0, win_w, wl_clamp, pool, ratio)
-                g = g_ref[0].astype(jnp.float32)  # [pool, pool, c]
-                # t[y, q, ch] = sum_p wy[p, y] g[p, q, ch]
-                t = jnp.dot(
-                    wy.T, g.reshape(pool, pool * c),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                ).reshape(win_h, pool, c)
-                # d_win[x, y, ch] = sum_q wx[q, x] t[y, q, ch] — contracting
-                # so C stays the LANE dim: the (x, y) swap below touches only
-                # sublane-major dims (cheap), unlike a (c, x) minor transpose
-                # which blew the VMEM stack (32 MB Mosaic allocation)
-                d_win = jax.lax.dot_general(
-                    wx, t,
-                    dimension_numbers=(((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [win_w, win_h, c]
-                d_win = jnp.transpose(d_win, (1, 0, 2))  # [win_h, win_w, c]
-                read.wait()
-                acc = win_scratch[slot, pl.ds(0, win_h), pl.ds(0, win_w), :]
-                win_scratch[slot, pl.ds(0, win_h), pl.ds(0, win_w), :] = (
-                    acc.astype(jnp.float32) + d_win
-                ).astype(out_dtype)
-
-                # drain the previous write before reusing its semaphore
-                # (exactly one wait per outstanding write: either the
-                # hazard wait above or this one)
-                drain_prev(pending & ~hazard)
-
-                write = pltpu.make_async_copy(dst, region, sems.at[1])
-                write.start()
-                meta[0] = bidx_ref[n]
-                meta[1] = l
-                meta[2] = y0
-                meta[3] = x0
-                meta[4] = 1
-
-                # last program: its write must land before the kernel ends
-                @pl.when(n == n_total - 1)
+                @pl.when(lvl_ref[m] == l)
                 def _():
-                    write.wait()
+                    fx1, fy1, fw, fh, y0, x0 = window_geom(m, l)
+                    # Software pipeline with hazard detection: the previous
+                    # RoI's window write-back is still in flight. It only
+                    # has to land before OUR read if the two windows alias
+                    # (same image, same level, rectangles intersect) — rare
+                    # for typical RoI batches, so read(m) + the matmuls
+                    # usually overlap write(m-1). A conflicting write must
+                    # be same image AND same level (so its dims equal this
+                    # branch's static win_h/win_w).
+                    pending = meta[4] == 1
+                    hazard = (
+                        pending
+                        & (meta[0] == bidx_ref[m])
+                        & (meta[1] == l)
+                        & (y0 < meta[2] + win_h) & (meta[2] < y0 + win_h)
+                        & (x0 < meta[3] + win_w) & (meta[3] < x0 + win_w)
+                    )
+                    drain_prev(hazard, slot)
+
+                    region = dfeat_refs[l].at[
+                        bidx_ref[m], pl.ds(y0, win_h), pl.ds(x0, win_w), :
+                    ]
+                    dst = win_scratch.at[
+                        slot, pl.ds(0, win_h), pl.ds(0, win_w), :
+                    ]
+                    read = pltpu.make_async_copy(region, dst, sems.at[0])
+                    read.start()
+                    wy = _interp_matrix(fy1, fh, y0, win_h, hl, pool, ratio)
+                    wx = _interp_matrix(fx1, fw, x0, win_w, wl_clamp, pool,
+                                        ratio)
+                    g = g_ref[k].astype(jnp.float32)  # [pool, pool, c]
+                    # t[y, q, ch] = sum_p wy[p, y] g[p, q, ch]
+                    t = jnp.dot(
+                        wy.T, g.reshape(pool, pool * c),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).reshape(win_h, pool, c)
+                    # d_win[x, y, ch] = sum_q wx[q, x] t[y, q, ch] —
+                    # contracting so C stays the LANE dim: the (x, y) swap
+                    # below touches only sublane-major dims (cheap), unlike
+                    # a (c, x) minor transpose which blew the VMEM stack
+                    d_win = jax.lax.dot_general(
+                        wx, t,
+                        dimension_numbers=(((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [win_w, win_h, c]
+                    d_win = jnp.transpose(d_win, (1, 0, 2))
+                    read.wait()
+                    acc = win_scratch[
+                        slot, pl.ds(0, win_h), pl.ds(0, win_w), :
+                    ]
+                    win_scratch[slot, pl.ds(0, win_h), pl.ds(0, win_w), :] = (
+                        acc.astype(jnp.float32) + d_win
+                    ).astype(out_dtype)
+
+                    # drain the previous write before reusing its semaphore
+                    # (exactly one wait per outstanding write: either the
+                    # hazard wait above or this one)
+                    drain_prev(pending & ~hazard, slot)
+
+                    write = pltpu.make_async_copy(dst, region, sems.at[1])
+                    write.start()
+                    meta[0] = bidx_ref[m]
+                    meta[1] = l
+                    meta[2] = y0
+                    meta[3] = x0
+                    meta[4] = 1
+
+                    if last is not None:
+                        # final RoI: its write must land before kernel exit
+                        @pl.when(last)
+                        def _():
+                            write.wait()
+
+        # kbatch RoIs per program amortize the Mosaic grid-loop overhead
+        # (measured ~6 us/RoI at kbatch=1, ~1.6 us of which is DMA). The
+        # scratch-parity slot must ALTERNATE between consecutive RoIs
+        # (a read must not target the buffer an in-flight write sources):
+        # static k % 2 for EVEN kbatch, dynamic n % 2 for kbatch == 1.
+        assert kbatch == 1 or kbatch % 2 == 0
+        for k in range(kbatch):
+            m = n * kbatch + k if kbatch > 1 else n
+            slot = (k % 2) if kbatch > 1 else jax.lax.rem(n, 2)
+            process_roi(m, k, slot,
+                        last=(n == n_total - 1) if k == kbatch - 1 else None)
 
     return kernel, (max_wh, max_ww, c)
 
@@ -478,17 +495,22 @@ def multilevel_roi_align_pallas_bwd(
         for f in features
     ]
     level_shapes = [s[1:] for s in padded_shapes]
+    # kbatch > 1 unrolls several RoIs per grid program. MEASURED LOSS at
+    # kbatch=4 (bs=8 train step 189 -> 215 ms): the grid-loop overhead it
+    # amortizes is smaller than the cost of the 4x-unrolled kernel body
+    # (scalar-core/branch pressure). Keep 1; the knob documents the result.
+    kbatch = 1
     kernel, (wh, ww, _) = _make_bwd_kernel(
         level_shapes, orig_wls, tuple(float(s) for s in strides), p,
-        sampling_ratio, dtype, window=window,
+        sampling_ratio, dtype, window=window, kbatch=kbatch,
     )
 
     zeros = [jnp.zeros(s, dtype) for s in padded_shapes]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # rois, lvl, bidx
-        grid=(b * r,),
+        grid=(b * r // kbatch,),
         in_specs=[
-            pl.BlockSpec((1, p, p, c), lambda n, *prefetch: (n, 0, 0, 0),
+            pl.BlockSpec((kbatch, p, p, c), lambda n, *prefetch: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
         out_specs=[

@@ -235,3 +235,39 @@ def test_retinanet_anchor_count_follows_config():
     }
     total, ld = det.loss_fn(params, batch, jax.random.key(1))
     assert np.isfinite(float(total))
+
+
+def test_s2d_stem_matches_conv_stem():
+    """The space-to-depth stem is the exact 7x7/2 conv, rearranged: same
+    params (identical tree), identical outputs up to float reassociation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from detectron_tpu.models.resnet import ResNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 96, 3), jnp.float32)
+    m_conv = ResNet(depth="resnet50", stem="conv")
+    m_s2d = ResNet(depth="resnet50", stem="s2d")
+    params = m_conv.init(jax.random.key(0), x)
+    assert jax.tree.structure(m_s2d.init(jax.random.key(0), x)) == (
+        jax.tree.structure(params)
+    )
+    a = m_conv.apply(params, x)
+    b = m_s2d.apply(params, x)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(b[k]), np.asarray(a[k]), atol=2e-4,
+            err_msg=f"stem mismatch at {k}")
+
+
+def test_s2d_stem_odd_size_falls_back():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from detectron_tpu.models.resnet import ResNet
+
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 63, 65, 3), jnp.float32)
+    m = ResNet(depth="resnet50", stem="s2d")
+    out = m.apply(m.init(jax.random.key(0), x), x)
+    assert all(np.isfinite(np.asarray(v)).all() for v in out.values())
