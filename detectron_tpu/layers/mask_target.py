@@ -5,7 +5,9 @@ Replaces the reference's host-side cv2 crop/resize of gt masks
 the data pipeline rasterizes each gt instance ONCE into a fixed-size
 ``M0 x M0`` grid in its own gt-box frame; per training step, the target for a
 sampled fg RoI is produced by bilinearly resampling that grid into the RoI
-frame — a static-shape gather, differentiation-free, inside the jitted step.
+frame — separable bilinear as two batched MXU matmuls (tent-weight
+interpolation matrices), static-shape and differentiation-free, inside the
+jitted step.
 """
 
 from __future__ import annotations
