@@ -108,6 +108,7 @@ def base_config() -> ml_collections.ConfigDict:
     # default. Exact, with documented border-replicate for >5:1-aspect RoIs;
     # falls back to gather when the coarsest level exceeds the window.
     cfg.roi.align_impl = "window"
+    cfg.roi.window = 32  # interpolation window cells; see RoIFeatureExtractor
     cfg.roi.bbox_reg_weights = (10.0, 10.0, 5.0, 5.0)
     cfg.roi.smooth_l1_sigma = 1.0
     cfg.roi.class_agnostic_regression = False

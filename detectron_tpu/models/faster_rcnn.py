@@ -93,6 +93,11 @@ class TwoStageDetector(nn.Module):
     include_mask: bool = False
     pool_type: str = "align"  # align | pool (reference ships both ops)
     align_impl: str = "gather"  # gather | window (separable-matmul XLA path)
+    # interpolation window of the windowed path (cells; span bound follows).
+    # Smaller = less gather traffic but more RoIs promoted a level coarser;
+    # 32 is the validated default — smaller values need real-data mAP
+    # evidence before shipping (they change FPN routing for band-top RoIs).
+    roi_window: int = 32
     norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
     dtype: Any = jnp.float32
 
@@ -151,7 +156,7 @@ class TwoStageDetector(nn.Module):
 
             return roi_align_window_trainable(
                 tuple(levels[: len(ROI_STRIDES)]), rois, ROI_STRIDES, size,
-                self.sampling_ratio,
+                self.sampling_ratio, self.roi_window,
             )
         return multilevel_roi_align(
             levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
@@ -189,6 +194,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         include_mask=include_mask,
         pool_type=cfg.roi.get("pool_type", "align"),
         align_impl=cfg.roi.get("align_impl", "gather"),
+        roi_window=cfg.roi.get("window", 32),
         norm=cfg.model.get("norm", "frozen_bn"),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )

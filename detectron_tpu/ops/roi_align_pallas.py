@@ -572,10 +572,11 @@ roi_align_fused.defvjp(_fwd, _bwd)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnames=("strides", "output_size", "sampling_ratio")
+    jax.custom_vjp,
+    nondiff_argnames=("strides", "output_size", "sampling_ratio", "window"),
 )
 def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
-                               output_size=7, sampling_ratio=2):
+                               output_size=7, sampling_ratio=2, window=32):
     """Windowed separable-matmul forward (ops/roi_align.py, the fastest
     inference path) + Pallas scatter-add backward. The windowed forward's
     AUTODIFF backward scatters whole [R, wh, ww, C] windows, which measured
@@ -587,17 +588,17 @@ def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
 
     return multilevel_roi_align_windowed(
         list(features), rois, list(strides), output_size=output_size,
-        sampling_ratio=sampling_ratio,
+        sampling_ratio=sampling_ratio, window=window,
     )
 
 
-def _wfwd(features, rois, strides, output_size, sampling_ratio):
+def _wfwd(features, rois, strides, output_size, sampling_ratio, window):
     out = roi_align_window_trainable(features, rois, strides, output_size,
-                                     sampling_ratio)
+                                     sampling_ratio, window)
     return out, (features, rois)
 
 
-def _wbwd(strides, output_size, sampling_ratio, res, g):
+def _wbwd(strides, output_size, sampling_ratio, window, res, g):
     features, rois = res
     # window=WINDOW mirrors the windowed forward's 32-cell windows: the
     # forward clamps samples to that window, so its true gradient support is
@@ -606,7 +607,7 @@ def _wbwd(strides, output_size, sampling_ratio, res, g):
     d_features = multilevel_roi_align_pallas_bwd(
         g, list(features), rois, strides=tuple(strides),
         output_size=output_size, sampling_ratio=sampling_ratio,
-        window=WINDOW,
+        window=window,
     )
     return tuple(d_features), jnp.zeros_like(rois)
 
