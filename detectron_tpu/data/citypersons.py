@@ -49,6 +49,18 @@ class CityPersonsDataset:
     def __len__(self):
         return len(self.ann_files)
 
+    def index_of(self, image_id) -> int:
+        """Index of an image_id (the annotation basename without suffix) —
+        the eval driver's detection->gt pairing hook, same contract as the
+        COCO/VOC adapters. Caught by tests/test_eval_driver_citypersons.py:
+        this was missing, so `eval.py` crashed on real CityPersons data."""
+        if not hasattr(self, "_id_to_index"):
+            self._id_to_index = {
+                os.path.basename(p).replace("_gtBboxCityPersons.json", ""): i
+                for i, p in enumerate(self.ann_files)
+            }
+        return self._id_to_index[image_id]
+
     @property
     def num_classes(self):
         return 2

@@ -106,9 +106,17 @@ def main():
             dts.append(d)
             ex = ds.example(ds.index_of(image_id))
             # VOC: evaluate against ALL objects (difficult ones are matched
-            # but not counted by evaluate_voc), not the train-filtered set
-            g_boxes = ex.get("all_boxes", ex["boxes"])
-            g_classes = ex.get("all_classes", ex["classes"])
+            # but not counted by evaluate_voc), not the train-filtered set.
+            # CityPersons is the exception: evaluate_mr counts every row of
+            # "boxes" as a real positive and handles ignore regions via
+            # "ignore_boxes" — feeding all_boxes there double-counted
+            # ignored pedestrians as misses (MR^-2 = 1/3 on a perfect
+            # gt-echo; caught by tests/test_eval_driver_citypersons.py).
+            if cfg.data.dataset == "citypersons":
+                g_boxes, g_classes = ex["boxes"], ex["classes"]
+            else:
+                g_boxes = ex.get("all_boxes", ex["boxes"])
+                g_classes = ex.get("all_classes", ex["classes"])
             g_ignore = np.zeros(len(g_boxes), bool)
             crowd_boxes = ex.get("crowd_boxes")
             if crowd_boxes is not None and len(crowd_boxes):

@@ -1,0 +1,97 @@
+"""End-to-end eval.py driver test on a CityPersons-layout fixture.
+
+Completes the per-dataset driver-coverage trio (COCO:
+tests/test_eval_driver.py, VOC: tests/test_eval_driver_voc.py): loader ->
+(predict) -> unmapping -> ignore-aware MR^-2 -> results JSON.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("cp_fixture")
+    ann_dir = root / "gtBboxCityPersons" / "val" / "testcity"
+    img_dir = root / "leftImg8bit" / "val" / "testcity"
+    ann_dir.mkdir(parents=True)
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(7)
+    for i in range(3):
+        h, w = 128, 256
+        objs = []
+        for j in range(1 + i):
+            bw, bh = int(rng.randint(20, 40)), int(rng.randint(60, 100))
+            x = int(rng.randint(0, w - bw))
+            y = int(rng.randint(0, h - bh))
+            objs.append({"label": "pedestrian", "bbox": [x, y, bw, bh],
+                         "bboxVis": [x, y, bw, bh]})
+        # one ignore region per image
+        objs.append({"label": "ignore", "bbox": [int(w * 0.8), 5, 30, 30]})
+        ann = {"imgHeight": h, "imgWidth": w, "objects": objs}
+        with open(ann_dir / f"c_{i:06d}_gtBboxCityPersons.json", "w") as f:
+            json.dump(ann, f)
+        cv2.imwrite(str(img_dir / f"c_{i:06d}_leftImg8bit.png"),
+                    np.full((h, w, 3), 60, np.uint8))
+    return str(root)
+
+
+def _run_eval(monkeypatch, fixture_root, tmp_path):
+    import eval as eval_driver
+
+    out_dir = str(tmp_path / "out")
+    argv = [
+        "eval.py", "--no-restore", "--cfg",
+        f"data.root={fixture_root}",
+        "data.dataset=citypersons", "data.val_split=val",
+        "data.short_side=96", "data.max_size=192",
+        "data.image_size=[96,192]",
+        "model.name=faster_rcnn", "model.num_classes=2",
+        "model.fpn_channels=32", "model.frozen_stages=0",
+        "train.batch_size=1", "train.max_gt_boxes=8",
+        "parallel.num_devices=1",
+        "rpn.pre_nms_topk_test=128", "rpn.post_nms_topk_test=32",
+        "test.detections_per_image=10",
+        f"output_dir={out_dir}",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    eval_driver.main()
+    with open(os.path.join(out_dir, "eval_results.json")) as f:
+        return json.load(f)
+
+
+def test_citypersons_driver_oracle_predictor_zero_mr(monkeypatch,
+                                                     fixture_root, tmp_path):
+    """gt-echo predictor: every reasonable pedestrian found at high score,
+    no false positives -> MR^-2 must be 0 after unmapping, and detections
+    inside ignore regions must not create FPs."""
+    import detectron_tpu.parallel as parallel
+    from detectron_tpu.models.retinanet import Detections
+
+    def fake_make_predict_step(det, mesh, axis="data"):
+        def predict(params, batch):
+            gt_boxes = np.asarray(batch["gt_boxes"], np.float32)
+            gt_classes = np.asarray(batch["gt_classes"], np.int32)
+            valid = gt_classes > 0
+            scores = np.where(valid, 0.9, 0.0).astype(np.float32)
+            return Detections(boxes=gt_boxes, scores=scores,
+                              classes=gt_classes, valid=valid), None
+
+        return predict
+
+    monkeypatch.setattr(parallel, "make_predict_step", fake_make_predict_step)
+    res = _run_eval(monkeypatch, fixture_root, tmp_path)
+    assert res["MR-2"] == pytest.approx(0.0, abs=1e-9), res
+
+
+def test_citypersons_driver_real_predict_smoke(monkeypatch, fixture_root,
+                                               tmp_path):
+    res = _run_eval(monkeypatch, fixture_root, tmp_path)
+    assert "MR-2" in res
+    assert 0.0 <= res["MR-2"] <= 1.0
