@@ -379,11 +379,21 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
                     wx = _interp_matrix(fx1, fw, x0, win_w, wl_clamp, pool,
                                         ratio)
                     g = g_ref[k].astype(jnp.float32)  # [pool, pool, c]
+                    # dtype-dependent precision (Mosaic supports only
+                    # DEFAULT/HIGHEST in-kernel): bf16 features train with
+                    # single-pass matmuls — the ~1e-2 relative error on the
+                    # scatter-add gradient sits inside the bf16 cotangent
+                    # quantization itself; HIGHEST (6-pass) is reserved for
+                    # true-f32 features where the kernel must match the f32
+                    # jnp VJP to 1e-3 (scripts/tpu_smoke.py).
+                    prec = (jax.lax.Precision.HIGHEST
+                            if out_dtype == jnp.float32
+                            else jax.lax.Precision.DEFAULT)
                     # t[y, q, ch] = sum_p wy[p, y] g[p, q, ch]
                     t = jnp.dot(
                         wy.T, g.reshape(pool, pool * c),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=prec,
                     ).reshape(win_h, pool, c)
                     # d_win[x, y, ch] = sum_q wx[q, x] t[y, q, ch] —
                     # contracting so C stays the LANE dim: the (x, y) swap
@@ -393,7 +403,7 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
                         wx, t,
                         dimension_numbers=(((0,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=prec,
                     )  # [win_w, win_h, c]
                     d_win = jnp.transpose(d_win, (1, 0, 2))
                     read.wait()
