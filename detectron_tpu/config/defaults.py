@@ -109,6 +109,10 @@ def base_config() -> ml_collections.ConfigDict:
     # falls back to gather when the coarsest level exceeds the window.
     cfg.roi.align_impl = "window"
     cfg.roi.window = 32  # interpolation window cells; see RoIFeatureExtractor
+    # windowed-align RoI chunk (lax.map scan): bounds the [B,R,wh,ww,C]
+    # window tensor (8.8 GB at bs=48 — the round-2 batch-scaling OOM).
+    # 0 = unchunked
+    cfg.roi.chunk = 0
     cfg.roi.bbox_reg_weights = (10.0, 10.0, 5.0, 5.0)
     cfg.roi.smooth_l1_sigma = 1.0
     cfg.roi.class_agnostic_regression = False
@@ -128,10 +132,12 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.retinanet.exact_topk = False
     # cross-level candidate cap before the merged class-aware NMS: greedy
     # NMS cost is linear in the sequential candidate count, so capping
-    # 5*pre_nms_topk=5000 to the top 2000 by score shortens the serial
-    # suppression chain 2.5x; only below-threshold tail candidates drop
-    # (the final keep is 100). 0 = no cap.
-    cfg.retinanet.merged_pre_nms_topk = 2000
+    # 5*pre_nms_topk=5000 to the top N by score shortens the serial
+    # suppression chain. OFF by default (0 = no cap): in crowded scenes
+    # more than N candidates can clear score_thresh=0.05, so the cap is
+    # only provably mAP-neutral on sparse scenes — opt in for speed
+    # (configs/retinanet_fast.yaml uses 2000, ~2.5x shorter chain).
+    cfg.retinanet.merged_pre_nms_topk = 0
     cfg.retinanet.score_thresh = 0.05
     cfg.retinanet.nms_thresh = 0.5
     cfg.retinanet.smooth_l1_beta = 0.1111111111111111  # = 1/9, Detectron default
@@ -172,6 +178,9 @@ def base_config() -> ml_collections.ConfigDict:
     # ------------------------------------------------------------------- data
     cfg.data = ml_collections.ConfigDict()
     cfg.data.dataset = "coco"  # coco | voc | citypersons | synthetic
+    # VOC-2007 11-point interpolated AP (the metric the reference lineage
+    # reports for VOC07 test) vs the continuous AUC metric (VOC2010+)
+    cfg.data.voc_use_07_metric = False
     cfg.data.root = ""
     cfg.data.train_split = "train2017"
     cfg.data.val_split = "val2017"

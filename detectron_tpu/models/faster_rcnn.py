@@ -98,6 +98,10 @@ class TwoStageDetector(nn.Module):
     # 32 is the validated default — smaller values need real-data mAP
     # evidence before shipping (they change FPN routing for band-top RoIs).
     roi_window: int = 32
+    # RoI chunking of the windowed align (lax.map over chunks of this many
+    # RoIs per image): bounds the [B, R, wh, ww, C] window tensor, which at
+    # bs=48 was the single 8.8 GB allocation that OOMed inference. 0 = off.
+    roi_chunk: int = 0
     norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
     dtype: Any = jnp.float32
 
@@ -156,7 +160,7 @@ class TwoStageDetector(nn.Module):
 
             return roi_align_window_trainable(
                 tuple(levels[: len(ROI_STRIDES)]), rois, ROI_STRIDES, size,
-                self.sampling_ratio, self.roi_window,
+                self.sampling_ratio, self.roi_window, self.roi_chunk,
             )
         return multilevel_roi_align(
             levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
@@ -195,6 +199,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         pool_type=cfg.roi.get("pool_type", "align"),
         align_impl=cfg.roi.get("align_impl", "gather"),
         roi_window=cfg.roi.get("window", 32),
+        roi_chunk=cfg.roi.get("chunk", 0),
         norm=cfg.model.get("norm", "frozen_bn"),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )

@@ -243,6 +243,7 @@ def multilevel_roi_align_windowed(
     sampling_ratio: int = 2,
     min_level: int | None = None,
     window: int = 32,
+    chunk: int = 0,
 ) -> jnp.ndarray:
     """RoIAlign as windowed separable interpolation MATMULS, pure XLA.
 
@@ -261,6 +262,14 @@ def multilevel_roi_align_windowed(
     level, and the coarsest level must fit entirely (top_h <= window —
     checked; falls back to the gather path otherwise). Oracle-tested in
     tests/test_roi_align.py including elongated band-top boxes.
+
+    chunk > 0 bounds the materialized [B, R, wh, ww, C] window tensor by
+    processing RoIs in lax.map chunks of that many per image (a scan, so
+    peak memory is one chunk): at bs=48 / R=300 / C=256 the unchunked
+    window tensor alone is 9.4 GB — past half of v5e HBM — which is what
+    made bs>=48 inference fail to compile (round-2 "padding blowup").
+    Values in the 64-128 range keep the interpolation matmuls MXU-sized.
+    Exactness is unaffected (per-RoI computation is independent).
     """
     num_levels = len(features)
     if min_level is None:
@@ -295,7 +304,18 @@ def multilevel_roi_align_windowed(
     ws_i = jnp.asarray(ws.astype(np.int32))
     off_arr = jnp.asarray(offsets.astype(np.int32))
 
-    def per_image(feat_flat, rois_i):  # [Lpad, C], [R, 4]
+    def per_image(feat_flat, rois_full):  # [Lpad, C], [R, 4]
+        if chunk and rois_full.shape[0] > chunk:
+            pad = -rois_full.shape[0] % chunk
+            rp = jnp.pad(rois_full, ((0, pad), (0, 0)))
+            out = jax.lax.map(
+                lambda rc: _pool_rois(feat_flat, rc),
+                rp.reshape(-1, chunk, 4),
+            )
+            return out.reshape(-1, p, p, c)[: rois_full.shape[0]]
+        return _pool_rois(feat_flat, rois_full)
+
+    def _pool_rois(feat_flat, rois_i):  # [Lpad, C], [Rc, 4]
         lvl = assign_fpn_levels(rois_i, num_levels, min_level,
                                 max_span=max_span)
         scale = 1.0 / strides_arr[lvl]
@@ -402,7 +422,10 @@ def _pool_bin_masks(start, extent, origin, win: int, limit, pool: int):
     hi = jnp.clip(hi + start[:, None], 0, limit[:, None])
     g = origin[:, None] + jnp.asarray(np.arange(win, dtype=np.int32))  # [R, win]
     mask = (g[:, None, :] >= lo[:, :, None]) & (g[:, None, :] < hi[:, :, None])
-    return mask, hi > lo
+    # "nonempty" = the bin has a cell the window actually COVERS (equals
+    # hi > lo whenever the window holds the RoI, which the callers now
+    # guarantee; the mask form can never turn a masked max into float32-min)
+    return mask, mask.any(axis=2)
 
 
 def multilevel_roi_pool(
@@ -437,8 +460,16 @@ def multilevel_roi_pool(
 
     hs = np.array([f.shape[1] for f in features])
     ws = np.array([f.shape[2] for f in features])
-    win_h, win_w = window, window + 8
-    max_span = (float(win_h - 4), float(win_w - 4))
+    # routing span comes from the REQUESTED window (identical level routing
+    # to the RoIAlign paths); the actual window grows to hold the coarsest
+    # level whole if needed — top-clamped RoI spans are unbounded there, and
+    # a too-small window used to leave nonzero-extent bins with all-false
+    # membership masks, emitting float32-min instead of features (advisor
+    # round-3 finding: >1024px images at stride 32, or single-level
+    # roi_pool on maps larger than the window).
+    max_span = (float(window - 4), float(window + 4))
+    win_h = max(window, int(hs[-1]))
+    win_w = max(window + 8, int(ws[-1]))
     offsets = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
     flat = jnp.concatenate([f.reshape(b, -1, c) for f in features], axis=1)
     flat = jnp.pad(flat, ((0, 0), (0, win_h * int(ws.max()) + win_w), (0, 0)))

@@ -275,12 +275,28 @@ def multilevel_roi_align_pallas(
 
 
 def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
-                     window=2 * WINDOW, kbatch=1):
+                     max_span=DEFAULT_MAX_SPAN, kbatch=1):
     num_levels = len(level_shapes)
+    # Window extents are derived from the ROUTING bound, not vice versa:
+    # at any non-coarsest level the assignment promotes spans to <= max_span
+    # cells, so gradient support relative to the window origin is at most
+    #   y: (fy1 - y0 < 2) + span + 1 interp cell          -> mh + 4
+    #   x: the above + up to 7 more from the floor-to-8 DMA alignment of
+    #      x0 (the forward paths don't floor, so +8 slack alone was NOT
+    #      enough: a span-35.9 RoI with floor(fx1)-1 == 7 (mod 8) sampled
+    #      past a 40-cell window and clamped -> wrong-cell gradients)
+    #                                                     -> mw + 10
+    # The COARSEST level is always used whole (top-clamped spans are
+    # unbounded; the caller guards top <= 48): limit-clipping to the true
+    # level size keeps every sample inside a whole-level window.
+    mh, mw = max_span
+    wh_req = int(np.ceil(mh)) + 4
+    ww_req = int(np.ceil(mw)) + 10
+    ww_req += -ww_req % 8  # keep lane-dim slices (8, 128)-tile friendly
     wins = [
-        (min(h, window), min(w, window + 8))
-        for (h, w, _) in level_shapes
-    ]
+        (min(h, wh_req), min(w, ww_req))
+        for (h, w, _) in level_shapes[:-1]
+    ] + [level_shapes[-1][:2]]
     c = level_shapes[0][2]
     max_wh = max(w[0] for w in wins)
     max_ww = max(w[1] for w in wins)
@@ -464,9 +480,16 @@ def multilevel_roi_align_pallas_bwd(
     sampling_ratio: int = 2,
     min_level: int | None = None,
     interpret: bool = False,
-    window: int = 2 * WINDOW,
+    window: int = WINDOW,
 ):
     """d(multilevel_roi_align)/d(features) as a Pallas kernel.
+
+    `window` is the ROUTING window of the forward being differentiated:
+    RoIs are assigned levels with max_span = (window-4, window+4), exactly
+    as multilevel_roi_align_windowed(window=...) does (and, at the default
+    32, as the Pallas forward / DEFAULT_MAX_SPAN paths do). The kernel's
+    DMA window extents are derived from that span internally. Forward and
+    backward MUST route identically or gradients land on the wrong level.
 
     Returns per-level [B, Hl, Wl, C] gradients (same dtypes as features).
     Falls back to the jnp VJP under the same conditions as the forward.
@@ -479,6 +502,7 @@ def multilevel_roi_align_pallas_bwd(
     p = output_size
     dtype = features[0].dtype
 
+    max_span = (float(window - 4), float(window + 4))
     top_h, top_w = features[-1].shape[1:3]
     on_tpu = jax.default_backend() == "tpu" or interpret
     if not on_tpu or top_h > 48 or top_w > 48 or c % 128 != 0:
@@ -486,6 +510,7 @@ def multilevel_roi_align_pallas_bwd(
             lambda f: multilevel_roi_align(
                 list(f), rois, list(strides), output_size=output_size,
                 sampling_ratio=sampling_ratio, min_level=min_level,
+                max_span=max_span,
             ),
             tuple(features),
         )
@@ -496,7 +521,7 @@ def multilevel_roi_align_pallas_bwd(
 
     flat_rois = rois.reshape(b * r, 4)
     lvl = assign_fpn_levels(flat_rois, num_levels, min_level,
-                            max_span=DEFAULT_MAX_SPAN).astype(jnp.int32)
+                            max_span=max_span).astype(jnp.int32)
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
 
     orig_wls = tuple(f.shape[2] for f in features)
@@ -512,7 +537,7 @@ def multilevel_roi_align_pallas_bwd(
     kbatch = 1
     kernel, (wh, ww, _) = _make_bwd_kernel(
         level_shapes, orig_wls, tuple(float(s) for s in strides), p,
-        sampling_ratio, dtype, window=window, kbatch=kbatch,
+        sampling_ratio, dtype, max_span=max_span, kbatch=kbatch,
     )
 
     zeros = [jnp.zeros(s, dtype) for s in padded_shapes]
@@ -583,10 +608,12 @@ roi_align_fused.defvjp(_fwd, _bwd)
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnames=("strides", "output_size", "sampling_ratio", "window"),
+    nondiff_argnames=("strides", "output_size", "sampling_ratio", "window",
+                      "chunk"),
 )
 def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
-                               output_size=7, sampling_ratio=2, window=32):
+                               output_size=7, sampling_ratio=2, window=32,
+                               chunk=0):
     """Windowed separable-matmul forward (ops/roi_align.py, the fastest
     inference path) + Pallas scatter-add backward. The windowed forward's
     AUTODIFF backward scatters whole [R, wh, ww, C] windows, which measured
@@ -598,22 +625,22 @@ def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
 
     return multilevel_roi_align_windowed(
         list(features), rois, list(strides), output_size=output_size,
-        sampling_ratio=sampling_ratio, window=window,
+        sampling_ratio=sampling_ratio, window=window, chunk=chunk,
     )
 
 
-def _wfwd(features, rois, strides, output_size, sampling_ratio, window):
+def _wfwd(features, rois, strides, output_size, sampling_ratio, window,
+          chunk):
     out = roi_align_window_trainable(features, rois, strides, output_size,
-                                     sampling_ratio, window)
+                                     sampling_ratio, window, chunk)
     return out, (features, rois)
 
 
-def _wbwd(strides, output_size, sampling_ratio, window, res, g):
+def _wbwd(strides, output_size, sampling_ratio, window, chunk, res, g):
     features, rois = res
-    # window=WINDOW mirrors the windowed forward's 32-cell windows: the
-    # forward clamps samples to that window, so its true gradient support is
-    # the same 32x40 region — and the backward's sequential window DMAs move
-    # 3.6x less data than the fused (64x72) pairing.
+    # Pass the forward's routing window through so fwd/bwd assign RoIs to
+    # IDENTICAL FPN levels for every value of the roi.window knob (a
+    # hardcoded DEFAULT_MAX_SPAN here silently mis-trained window != 32).
     d_features = multilevel_roi_align_pallas_bwd(
         g, list(features), rois, strides=tuple(strides),
         output_size=output_size, sampling_ratio=sampling_ratio,

@@ -333,3 +333,51 @@ def test_windowed_falls_back_when_top_level_large():
     got = ra.multilevel_roi_align_windowed(feats, rois, (4, 8, 16, 32))
     want = ra.multilevel_roi_align(feats, rois, (4, 8, 16, 32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_roi_pool_level_larger_than_window():
+    """Regression (round-3 advisor, medium): a 48x48 single level exceeds
+    the default 32x40 window; the full-map RoI used to return float32-min
+    from all-false membership masks. The window now grows to hold the
+    coarsest level whole, and masked bins can never emit the neg sentinel."""
+    from detectron_tpu.ops.roi_align import roi_pool
+
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.rand(1, 48, 48, 8) + 1.0, jnp.float32)  # all > 1
+    rois = jnp.asarray([[[0.0, 0.0, 191.0, 191.0]]])  # full map at stride 4
+    out = roi_pool(feat, rois, 4, output_size=7)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(out.min()) >= 1.0  # a max over positive features
+    # exactness vs the scalar semantics: bin (0,0) maxes cells [0,7)x[0,7)
+    want = float(feat[0, :7, :7].max(axis=(0, 1))[0])
+    np.testing.assert_allclose(float(out[0, 0, 0, 0, 0]), want, rtol=1e-6)
+
+
+def test_windowed_chunked_matches_unchunked():
+    """roi.chunk bounds the window tensor by lax.map-ing RoI chunks; the
+    result must match the unchunked path (to matmul-scheduling float noise)
+    and the trainable wrapper's gradient must be unchanged. Regression for
+    the bs=48 OOM fix (an 8.8 GB [B,R,wh,ww,C] window tensor)."""
+    import jax
+
+    from detectron_tpu.ops.roi_align import multilevel_roi_align_windowed
+    from detectron_tpu.ops.roi_align_pallas import roi_align_window_trainable
+
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(2, 64 >> i, 64 >> i, 32), jnp.float32)
+             for i in range(4)]
+    rois = jnp.asarray(rng.rand(2, 37, 4) * 100)  # 37 % 16 != 0: pad path
+    rois = rois.at[..., 2:].add(rois[..., :2])
+    a = multilevel_roi_align_windowed(feats, rois, [4, 8, 16, 32])
+    b = multilevel_roi_align_windowed(feats, rois, [4, 8, 16, 32], chunk=16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    g1 = jax.grad(
+        lambda f: (roi_align_window_trainable(tuple(f), rois) ** 2).sum()
+    )(tuple(feats))
+    g2 = jax.grad(
+        lambda f: (roi_align_window_trainable(tuple(f), rois, chunk=16)
+                   ** 2).sum()
+    )(tuple(feats))
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-3)

@@ -127,3 +127,61 @@ def test_custom_vjp_gradients_match_jnp():
     g2 = jax.grad(loss_jnp)(feats)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("window", [16, 32])
+def test_bwd_routes_levels_like_the_windowed_forward(window):
+    """Regression (round-3 advisor, high): the backward must assign RoIs to
+    FPN levels with the SAME window-derived max_span as the forward being
+    differentiated. With a hardcoded DEFAULT_MAX_SPAN, window=16 put the
+    forward at P3 but all gradient at P2 — silent mis-training for any
+    non-default roi.window."""
+    from detectron_tpu.ops.roi_align import multilevel_roi_align_windowed
+    from detectron_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas_bwd
+
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(1, 64 >> i, 64 >> i, 128), jnp.float32)
+             for i in range(4)]
+    # 60px span = 15 cells at P2: fits (28, 36) but not (12, 20) -> the two
+    # spans route this RoI to different levels
+    rois = jnp.asarray([[[10.0, 10.0, 70.0, 70.0]]])
+    out, vjp = jax.vjp(
+        lambda f: multilevel_roi_align_windowed(
+            list(f), rois, [4, 8, 16, 32], window=window),
+        tuple(feats),
+    )
+    want = vjp(jnp.ones_like(out))[0]
+    got = multilevel_roi_align_pallas_bwd(
+        jnp.ones((1, 1, 7, 7, 128), jnp.float32), feats, rois,
+        strides=(4, 8, 16, 32), interpret=True, window=window,
+    )
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_bwd_window_absorbs_x0_alignment_floor():
+    """Regression (round 3): the bwd kernel floors x0 to a multiple of 8 for
+    DMA alignment; a +8-only x slack let a span-35.9 RoI starting at
+    floor(fx1)-1 == 7 (mod 8) sample past the window edge and clamp
+    (maxerr ~0.5 on the production window=32 train path). The window width
+    now carries +10 slack past the routing span."""
+    from detectron_tpu.ops.roi_align import multilevel_roi_align_windowed
+    from detectron_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas_bwd
+
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(1, 64 >> i, 64 >> i, 128), jnp.float32)
+             for i in range(4)]
+    # fx1 = 8.5 (x0 floors 7 -> 0), fw = 35.8 cells at P2
+    rois = jnp.asarray([[[34.0, 40.0, 177.2, 100.0]]])
+    out, vjp = jax.vjp(
+        lambda f: multilevel_roi_align_windowed(
+            list(f), rois, [4, 8, 16, 32], window=32),
+        tuple(feats),
+    )
+    want = vjp(jnp.ones_like(out))[0]
+    got = multilevel_roi_align_pallas_bwd(
+        jnp.ones((1, 1, 7, 7, 128), jnp.float32), feats, rois,
+        strides=(4, 8, 16, 32), interpret=True, window=32,
+    )
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
