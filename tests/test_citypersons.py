@@ -96,3 +96,54 @@ def test_mr2_ignore_regions_absorb():
     r = evaluate_mr(gt, det)
     # the ignore-region detection is absorbed -> perfect score
     assert r["MR-2"] < 1e-6
+
+
+def test_reasonable_protocol_label_sets(tmp_path):
+    """Regression (round-2 verdict): the published "Reasonable" protocol
+    evaluates `pedestrian` ONLY — rider / sitting person / person (other)
+    / person group are ignore regions, not positives. Counting them as
+    positives changed MR^-2's positive set vs published numbers."""
+    import cv2
+
+    root = tmp_path / "cp2"
+    ann_dir = root / "gtBboxCityPersons" / "val" / "c"
+    img_dir = root / "leftImg8bit" / "val" / "c"
+    ann_dir.mkdir(parents=True)
+    img_dir.mkdir(parents=True)
+    ann = {
+        "imgHeight": 128, "imgWidth": 256,
+        "objects": [
+            {"label": "pedestrian", "bbox": [10, 10, 30, 80],
+             "bboxVis": [10, 10, 30, 80]},
+            {"label": "rider", "bbox": [60, 10, 30, 80],
+             "bboxVis": [60, 10, 30, 80]},
+            {"label": "sitting person", "bbox": [100, 10, 30, 80],
+             "bboxVis": [100, 10, 30, 80]},
+            {"label": "person (other)", "bbox": [140, 10, 30, 80],
+             "bboxVis": [140, 10, 30, 80]},
+            {"label": "person group", "bbox": [180, 10, 30, 80]},
+        ],
+    }
+    with open(ann_dir / "y_000001_gtBboxCityPersons.json", "w") as f:
+        json.dump(ann, f)
+    cv2.imwrite(str(img_dir / "y_000001_leftImg8bit.png"),
+                np.full((128, 256, 3), 50, np.uint8))
+
+    ds = CityPersonsDataset(str(root), "val")
+    ex = ds.example(0)
+    assert len(ex["boxes"]) == 1  # the pedestrian alone is a positive
+    np.testing.assert_allclose(ex["boxes"][0], [10, 10, 40, 90])
+    assert len(ex["ignore_boxes"]) == 4  # everyone else absorbs
+
+    # an un-detected rider must NOT be a miss: gt-echo of the positives
+    # alone scores a perfect MR^-2
+    gt = [{"boxes": ex["boxes"], "ignore_boxes": ex["ignore_boxes"]}]
+    det = [{"boxes": ex["boxes"], "scores": np.array([0.9], np.float32)}]
+    assert evaluate_mr(gt, det)["MR-2"] == pytest.approx(0.0, abs=1e-9)
+
+    # widening the positive set is an explicit opt-in
+    ds_all = CityPersonsDataset(str(root), "val",
+                                positive_labels={"pedestrian", "rider"})
+    ex_all = ds_all.example(0)
+    assert len(ex_all["boxes"]) == 2
+    assert len(ex_all["ignore_boxes"]) == 3

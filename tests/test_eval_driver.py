@@ -20,6 +20,9 @@ import pytest
 
 from tests.fixture_coco import IMAGE_SIZES, make_fixture
 
+pytestmark = pytest.mark.slow  # fixture-driver suite: jit compiles + full eval protocol (CI fast gate runs -m 'not slow')
+
+
 
 @pytest.fixture(scope="module")
 def fixture_root(tmp_path_factory):
@@ -110,3 +113,75 @@ def test_fixture_structure(fixture_root):
         rle = CocoDataset.segmentation_to_rle(
             ex["crowd_segmentations"][0], (h, w))
         assert rle.area() == (h // 4) * (w // 3)
+
+
+def test_eval_driver_multihost_shards_disjoint_and_merge(monkeypatch,
+                                                         fixture_root,
+                                                         tmp_path):
+    """Simulated 2-process eval (round-2 verdict: eval.py had no multi-host
+    path): run the driver once as process 0/2 and once as 1/2 with the
+    merge hook capturing each host's shard. The shards must be disjoint,
+    cover the whole split, and the merged (gts, dts) must reproduce the
+    single-process oracle AP of 1.0."""
+    import eval as eval_driver
+
+    import detectron_tpu.parallel as parallel
+    from detectron_tpu.eval import evaluate_coco
+    from detectron_tpu.models.retinanet import Detections
+
+    def fake_make_predict_step(det, mesh, axis="data"):
+        def predict(params, batch):
+            gt_boxes = np.asarray(batch["gt_boxes"], np.float32)
+            gt_classes = np.asarray(batch["gt_classes"], np.int32)
+            valid = gt_classes > 0
+            scores = np.where(valid, 0.9, 0.0).astype(np.float32)
+            return Detections(boxes=gt_boxes, scores=scores,
+                              classes=gt_classes, valid=valid), None
+
+        return predict
+
+    monkeypatch.setattr(parallel, "make_predict_step", fake_make_predict_step)
+
+    shards = []
+
+    def capture_merge(gts, dts):
+        shards.append((list(gts), list(dts)))
+        return gts, dts
+
+    monkeypatch.setattr(eval_driver, "merge_across_processes", capture_merge)
+    for pid in (0, 1):
+        monkeypatch.setattr(
+            parallel, "initialize_distributed",
+            lambda *a, _pid=pid, **k: (_pid, 2),
+        )
+        out_dir = str(tmp_path / f"out{pid}")
+        argv = [
+            "eval.py", "--no-restore", "--cfg",
+            f"data.root={fixture_root}",
+            "data.dataset=coco", "data.val_split=val",
+            "data.short_side=96", "data.max_size=128",
+            "data.image_size=[128,128]",
+            "model.name=faster_rcnn", "model.num_classes=4",
+            "model.fpn_channels=32", "model.frozen_stages=0",
+            "train.batch_size=2", "train.max_gt_boxes=8",
+            "parallel.num_devices=1",
+            "rpn.pre_nms_topk_test=128", "rpn.post_nms_topk_test=32",
+            "test.detections_per_image=10",
+            f"output_dir={out_dir}",
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        eval_driver.main()
+
+    assert len(shards) == 2
+    ids0 = {str(d["image_id"]) for d in shards[0][1]}
+    ids1 = {str(d["image_id"]) for d in shards[1][1]}
+    assert ids0 and ids1
+    assert not (ids0 & ids1), "host shards overlap"
+    assert len(ids0 | ids1) == len(IMAGE_SIZES), "shards do not cover split"
+    # process 1 must not have written results
+    assert not os.path.exists(os.path.join(str(tmp_path / "out1"),
+                                           "eval_results.json"))
+    merged_gts = shards[0][0] + shards[1][0]
+    merged_dts = shards[0][1] + shards[1][1]
+    res = evaluate_coco(merged_gts, merged_dts, 4)
+    assert res["AP50"] == pytest.approx(1.0, abs=1e-6)

@@ -12,6 +12,9 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fixture-driver suite: jit compiles + full eval protocol (CI fast gate runs -m 'not slow')
+
+
 
 @pytest.fixture(scope="module")
 def fixture_root(tmp_path_factory):
@@ -34,6 +37,10 @@ def fixture_root(tmp_path_factory):
                          "bboxVis": [x, y, bw, bh]})
         # one ignore region per image
         objs.append({"label": "ignore", "bbox": [int(w * 0.8), 5, 30, 30]})
+        # one rider at a deterministic spot: an ignore REGION under the
+        # Reasonable protocol (never a positive, never a miss)
+        objs.append({"label": "rider", "bbox": [150, 10, 40, 100],
+                     "bboxVis": [150, 10, 40, 100]})
         ann = {"imgHeight": h, "imgWidth": w, "objects": objs}
         with open(ann_dir / f"c_{i:06d}_gtBboxCityPersons.json", "w") as f:
             json.dump(ann, f)
@@ -95,3 +102,41 @@ def test_citypersons_driver_real_predict_smoke(monkeypatch, fixture_root,
     res = _run_eval(monkeypatch, fixture_root, tmp_path)
     assert "MR-2" in res
     assert 0.0 <= res["MR-2"] <= 1.0
+
+
+def test_citypersons_driver_rider_hit_is_absorbed(monkeypatch, fixture_root,
+                                                  tmp_path):
+    """Regression (round-2 verdict): a detection on a RIDER must be absorbed
+    by its ignore region, not counted. The fake predictor echoes the
+    pedestrian gts at 0.9 and adds one 0.95 detection on the rider's
+    (resized) box; were the rider-hit an FP, the 0.95 threshold point would
+    pin miss-rate 1.0 at low FPPI and MR^-2 > 0. The rider itself being
+    undetected must also not be a miss."""
+    import detectron_tpu.parallel as parallel
+    from detectron_tpu.models.retinanet import Detections
+
+    # fixture rider bbox [150, 10, 40, 100] (xywh), 128x256 image resized to
+    # 96x192 -> scale 0.75
+    rider_resized = 0.75 * np.array([150, 10, 190, 110], np.float32)
+
+    def fake_make_predict_step(det, mesh, axis="data"):
+        def predict(params, batch):
+            gt_boxes = np.array(batch["gt_boxes"], np.float32)
+            gt_classes = np.array(batch["gt_classes"], np.int32)
+            valid = gt_classes > 0
+            scores = np.where(valid, 0.9, 0.0).astype(np.float32)
+            for i in range(len(gt_boxes)):
+                pad = np.flatnonzero(~valid[i])
+                j = pad[0]  # max_gt_boxes=8 always leaves padding rows
+                gt_boxes[i, j] = rider_resized
+                gt_classes[i, j] = 1
+                scores[i, j] = 0.95
+                valid[i, j] = True
+            return Detections(boxes=gt_boxes, scores=scores,
+                              classes=gt_classes, valid=valid), None
+
+        return predict
+
+    monkeypatch.setattr(parallel, "make_predict_step", fake_make_predict_step)
+    res = _run_eval(monkeypatch, fixture_root, tmp_path)
+    assert res["MR-2"] == pytest.approx(0.0, abs=1e-9), res
