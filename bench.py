@@ -34,12 +34,15 @@ A100_BASELINE_TRAIN_IMG_S = {"mask_rcnn": 20.0}
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=1024)
-    # Inference scales with batch now that RoIAlign is windowed-matmul
-    # (bs 8/16/32 = 122/128/133 img/s; bs=64 fails to compile, padding
-    # blowup). Train is flat beyond bs=8 (41.4 vs 41.9 at 16, which
-    # doubles step latency) -> infer bs=32, train bs=8 are the headlines.
-    ap.add_argument("--batch", type=int, default=32)
+    # square int, or "HxW" for the orientation-bucket canvases (e.g.
+    # 832x1344 landscape / 1344x832 portrait — two compiled programs)
+    ap.add_argument("--size", default="1024")
+    # Inference scales with batch now that RoIAlign is windowed-matmul and
+    # auto-chunked (bs 8/16/32/48 = 122/128/133/135 img/s; roi.chunk=-1
+    # resolves bs=48's 8.8 GB window tensor into three 100-RoI chunks).
+    # Train is flat beyond bs=8 (41.4 vs 41.9 at 16, which doubles step
+    # latency) -> infer bs=48, train bs=8 are the headlines.
+    ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--train-batch", type=int, default=8,
                     help="train bench batch (0 = same as --batch)")
     ap.add_argument("--dtype", default="bfloat16")
@@ -73,7 +76,10 @@ def main():
         from detectron_tpu.config import cfg_from_list
 
         cfg_from_list(args.overrides, cfg)
-    h = w = args.size
+    if "x" in str(args.size):
+        h, w = (int(s) for s in str(args.size).split("x"))
+    else:
+        h = w = int(args.size)
     bb = {"resnet50": "R-50-FPN", "resnet101": "R-101-FPN"}.get(
         cfg.model.backbone, cfg.model.backbone)
     det = build_detector(cfg)

@@ -109,10 +109,14 @@ def base_config() -> ml_collections.ConfigDict:
     # falls back to gather when the coarsest level exceeds the window.
     cfg.roi.align_impl = "window"
     cfg.roi.window = 32  # interpolation window cells; see RoIFeatureExtractor
+    # x-extent of the window (0 = window + 8); lets the y/x extents be
+    # tuned independently (e.g. 28x36) without changing either routing dim
+    cfg.roi.window_w = 0
     # windowed-align RoI chunk (lax.map scan): bounds the [B,R,wh,ww,C]
     # window tensor (8.8 GB at bs=48 — the round-2 batch-scaling OOM).
-    # 0 = unchunked
-    cfg.roi.chunk = 0
+    # 0 = unchunked; -1 = auto (unchunked under 6.5 GB, else ~4 GB chunks
+    # — bs<=32 stays unchunked, bs=48 gets the measured 135 img/s plateau)
+    cfg.roi.chunk = -1
     cfg.roi.bbox_reg_weights = (10.0, 10.0, 5.0, 5.0)
     cfg.roi.smooth_l1_sigma = 1.0
     cfg.roi.class_agnostic_regression = False

@@ -100,8 +100,13 @@ class TwoStageDetector(nn.Module):
     roi_window: int = 32
     # RoI chunking of the windowed align (lax.map over chunks of this many
     # RoIs per image): bounds the [B, R, wh, ww, C] window tensor, which at
-    # bs=48 was the single 8.8 GB allocation that OOMed inference. 0 = off.
-    roi_chunk: int = 0
+    # bs=48 was the single 8.8 GB allocation that OOMed inference. 0 = off;
+    # -1 = auto from static shapes (ops/roi_align.py docstring).
+    roi_chunk: int = -1
+    # x-extent of the interpolation window (0 = roi_window + 8). Decoupling
+    # the dims lets the gather shrink without changing x-routing (A/B'd on
+    # hardware; see DESIGN.md §7).
+    roi_window_w: int = 0
     norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
     dtype: Any = jnp.float32
 
@@ -161,6 +166,7 @@ class TwoStageDetector(nn.Module):
             return roi_align_window_trainable(
                 tuple(levels[: len(ROI_STRIDES)]), rois, ROI_STRIDES, size,
                 self.sampling_ratio, self.roi_window, self.roi_chunk,
+                self.roi_window_w,
             )
         return multilevel_roi_align(
             levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
@@ -199,7 +205,8 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         pool_type=cfg.roi.get("pool_type", "align"),
         align_impl=cfg.roi.get("align_impl", "gather"),
         roi_window=cfg.roi.get("window", 32),
-        roi_chunk=cfg.roi.get("chunk", 0),
+        roi_chunk=cfg.roi.get("chunk", -1),
+        roi_window_w=cfg.roi.get("window_w", 0),
         norm=cfg.model.get("norm", "frozen_bn"),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )

@@ -235,6 +235,26 @@ def _interp_weights(lo, extent, offset, win: int, limit, pool: int,
     return w.reshape(r, pool, ratio, win).sum(axis=2) / float(ratio)
 
 
+# auto-chunk (roi.chunk == -1) thresholds, measured on v5e (DESIGN.md §7):
+# unchunked while the [B,R,wh,ww,C] window tensor fits comfortably
+# (bs<=32 at 1024² stays unchunked — chunking there is neutral), else a
+# chunk bounding it to ~4 GB (bs=48 -> 127, inside the 100-150 plateau
+# that benched 135 img/s; too-small chunks lose ~10% to scan overhead).
+_AUTO_CHUNK_UNCHUNKED_BYTES = 6_500_000_000
+_AUTO_CHUNK_TARGET_BYTES = 4_000_000_000
+
+
+def _resolve_auto_chunk(b, r, win_h, win_w, c, itemsize):
+    per_roi = int(win_h) * int(win_w) * int(c) * int(itemsize)
+    if b * r * per_roi <= _AUTO_CHUNK_UNCHUNKED_BYTES:
+        return 0
+    # pick the chunk COUNT first, then split R evenly: a raw byte-target
+    # chunk pads R up (R=300 at bs=48 gave chunk=127 -> 3x127=381 rows,
+    # 27% wasted work, 129.5 vs 135.1 img/s measured)
+    n_chunks = -(b * r * per_roi // -_AUTO_CHUNK_TARGET_BYTES)
+    return max(1, -(r // -n_chunks))
+
+
 def multilevel_roi_align_windowed(
     features: Sequence[jnp.ndarray],
     rois: jnp.ndarray,
@@ -244,6 +264,7 @@ def multilevel_roi_align_windowed(
     min_level: int | None = None,
     window: int = 32,
     chunk: int = 0,
+    window_w: int = 0,
 ) -> jnp.ndarray:
     """RoIAlign as windowed separable interpolation MATMULS, pure XLA.
 
@@ -268,8 +289,15 @@ def multilevel_roi_align_windowed(
     peak memory is one chunk): at bs=48 / R=300 / C=256 the unchunked
     window tensor alone is 9.4 GB — past half of v5e HBM — which is what
     made bs>=48 inference fail to compile (round-2 "padding blowup").
-    Values in the 64-128 range keep the interpolation matmuls MXU-sized.
     Exactness is unaffected (per-RoI computation is independent).
+
+    chunk == -1 (the cfg default) picks automatically from static shapes:
+    unchunked while the window tensor stays under 6.5 GB (bs<=32 measured
+    best unchunked; chunking bs=32 is throughput-neutral, 132.7 vs 133.1
+    img/s), else the smallest EVEN split of R targeting ~4 GB chunks
+    (bs=48 -> 100, the measured 135.1 img/s point; an uneven 127 padded
+    300->381 RoIs and lost 5.6 img/s; chunk=64 loses 10% to scan
+    serialization — v5e measurements in DESIGN.md §7).
     """
     num_levels = len(features)
     if min_level is None:
@@ -281,8 +309,14 @@ def multilevel_roi_align_windowed(
 
     hs = np.array([f.shape[1] for f in features])
     ws = np.array([f.shape[2] for f in features])
-    win_h, win_w = window, window + 8
+    # window_w decouples the x-extent from the y-extent (roi.window_w knob;
+    # 0 = the legacy square-ish window+8). Routing max_span follows BOTH
+    # dims so the level assignment keeps every RoI inside its window.
+    win_h, win_w = window, (window_w or window + 8)
     max_span = (float(win_h - 4), float(win_w - 4))
+    if chunk == -1:  # auto: resolve from static shapes (see docstring)
+        chunk = _resolve_auto_chunk(b, r, win_h, win_w, c,
+                                    np.dtype(dtype).itemsize)
     if hs[-1] > win_h or ws[-1] > win_w:
         # coarsest level must fit whole (top-clamped RoI spans are unbounded)
         return multilevel_roi_align(

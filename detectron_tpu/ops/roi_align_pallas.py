@@ -468,7 +468,7 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
     jax.jit,
     static_argnames=(
         "strides", "output_size", "sampling_ratio", "min_level", "interpret",
-        "window",
+        "window", "window_w",
     ),
 )
 def multilevel_roi_align_pallas_bwd(
@@ -481,12 +481,14 @@ def multilevel_roi_align_pallas_bwd(
     min_level: int | None = None,
     interpret: bool = False,
     window: int = WINDOW,
+    window_w: int = 0,
 ):
     """d(multilevel_roi_align)/d(features) as a Pallas kernel.
 
-    `window` is the ROUTING window of the forward being differentiated:
-    RoIs are assigned levels with max_span = (window-4, window+4), exactly
-    as multilevel_roi_align_windowed(window=...) does (and, at the default
+    `window` (+ optional asymmetric `window_w`) is the ROUTING window of
+    the forward being differentiated: RoIs are assigned levels with
+    max_span = (window-4, (window_w or window+8)-4), exactly as
+    multilevel_roi_align_windowed(window=...) does (and, at the default
     32, as the Pallas forward / DEFAULT_MAX_SPAN paths do). The kernel's
     DMA window extents are derived from that span internally. Forward and
     backward MUST route identically or gradients land on the wrong level.
@@ -502,7 +504,7 @@ def multilevel_roi_align_pallas_bwd(
     p = output_size
     dtype = features[0].dtype
 
-    max_span = (float(window - 4), float(window + 4))
+    max_span = (float(window - 4), float((window_w or window + 8) - 4))
     top_h, top_w = features[-1].shape[1:3]
     on_tpu = jax.default_backend() == "tpu" or interpret
     if not on_tpu or top_h > 48 or top_w > 48 or c % 128 != 0:
@@ -609,11 +611,11 @@ roi_align_fused.defvjp(_fwd, _bwd)
 @functools.partial(
     jax.custom_vjp,
     nondiff_argnames=("strides", "output_size", "sampling_ratio", "window",
-                      "chunk"),
+                      "chunk", "window_w"),
 )
 def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
                                output_size=7, sampling_ratio=2, window=32,
-                               chunk=0):
+                               chunk=0, window_w=0):
     """Windowed separable-matmul forward (ops/roi_align.py, the fastest
     inference path) + Pallas scatter-add backward. The windowed forward's
     AUTODIFF backward scatters whole [R, wh, ww, C] windows, which measured
@@ -626,25 +628,27 @@ def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
     return multilevel_roi_align_windowed(
         list(features), rois, list(strides), output_size=output_size,
         sampling_ratio=sampling_ratio, window=window, chunk=chunk,
+        window_w=window_w,
     )
 
 
 def _wfwd(features, rois, strides, output_size, sampling_ratio, window,
-          chunk):
+          chunk, window_w):
     out = roi_align_window_trainable(features, rois, strides, output_size,
-                                     sampling_ratio, window, chunk)
+                                     sampling_ratio, window, chunk, window_w)
     return out, (features, rois)
 
 
-def _wbwd(strides, output_size, sampling_ratio, window, chunk, res, g):
+def _wbwd(strides, output_size, sampling_ratio, window, chunk, window_w,
+          res, g):
     features, rois = res
     # Pass the forward's routing window through so fwd/bwd assign RoIs to
-    # IDENTICAL FPN levels for every value of the roi.window knob (a
-    # hardcoded DEFAULT_MAX_SPAN here silently mis-trained window != 32).
+    # IDENTICAL FPN levels for every value of the roi.window/window_w knobs
+    # (a hardcoded DEFAULT_MAX_SPAN here silently mis-trained window != 32).
     d_features = multilevel_roi_align_pallas_bwd(
         g, list(features), rois, strides=tuple(strides),
         output_size=output_size, sampling_ratio=sampling_ratio,
-        window=window,
+        window=window, window_w=window_w,
     )
     return tuple(d_features), jnp.zeros_like(rois)
 

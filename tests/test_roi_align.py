@@ -381,3 +381,52 @@ def test_windowed_chunked_matches_unchunked():
     )(tuple(feats))
     for x, y in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-3)
+
+
+def test_asymmetric_window_matches_gather_oracle():
+    """roi.window_w decouples the x-extent: a 28x36 window must stay exact
+    vs the gather path routed with the same (24, 32) span bound, for boxes
+    of every size/aspect (span-aware promotion keeps RoIs inside)."""
+    from detectron_tpu.ops.roi_align import (
+        multilevel_roi_align, multilevel_roi_align_windowed)
+
+    rng = np.random.RandomState(7)
+    feats = [jnp.asarray(rng.randn(2, 128 >> i, 160 >> i, 16), jnp.float32)
+             for i in range(4)]
+    xy = rng.rand(2, 64, 2) * 500
+    wh = np.exp(rng.uniform(np.log(4), np.log(500), (2, 64, 2)))
+    rois = jnp.asarray(
+        np.concatenate([xy, np.minimum(xy + wh, 630.0)], -1))
+    a = multilevel_roi_align_windowed(feats, rois, [4, 8, 16, 32],
+                                      window=28, window_w=36)
+    b = multilevel_roi_align(feats, rois, [4, 8, 16, 32],
+                             max_span=(24.0, 32.0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_auto_chunk_resolution():
+    """roi.chunk=-1 resolves from static shapes: small programs stay
+    unchunked; a bs=48 1024² Mask R-CNN-shaped program lands in the
+    measured 100-150 chunk plateau (DESIGN.md §7)."""
+    from detectron_tpu.ops.roi_align import (
+        _resolve_auto_chunk, multilevel_roi_align_windowed)
+
+    # bs=8..32 inference and the bs=8 train step stay unchunked
+    assert _resolve_auto_chunk(8, 300, 32, 40, 256, 2) == 0
+    assert _resolve_auto_chunk(32, 300, 32, 40, 256, 2) == 0
+    assert _resolve_auto_chunk(8, 512, 32, 40, 256, 2) == 0
+    # the bs=48 OOM case picks an even R-split inside the measured plateau
+    # (chunk must divide R: 127 padded 300->381 and lost 5.6 img/s)
+    c48 = _resolve_auto_chunk(48, 300, 32, 40, 256, 2)
+    assert c48 == 100 and type(c48) is int, c48  # float chunk broke jnp.pad
+    assert _resolve_auto_chunk(64, 300, 32, 40, 256, 2) == 75
+
+    # chunk=-1 through the real op == explicit settings
+    rng = np.random.RandomState(1)
+    feats = [jnp.asarray(rng.randn(1, 32 >> i, 32 >> i, 8), jnp.float32)
+             for i in range(4)]
+    rois = jnp.asarray(rng.rand(1, 9, 4) * 50)
+    rois = rois.at[..., 2:].add(rois[..., :2])
+    a = multilevel_roi_align_windowed(feats, rois, [4, 8, 16, 32], chunk=-1)
+    b = multilevel_roi_align_windowed(feats, rois, [4, 8, 16, 32], chunk=0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

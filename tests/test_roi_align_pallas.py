@@ -129,8 +129,8 @@ def test_custom_vjp_gradients_match_jnp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
-@pytest.mark.parametrize("window", [16, 32])
-def test_bwd_routes_levels_like_the_windowed_forward(window):
+@pytest.mark.parametrize("window,window_w", [(16, 0), (32, 0), (28, 36)])
+def test_bwd_routes_levels_like_the_windowed_forward(window, window_w):
     """Regression (round-3 advisor, high): the backward must assign RoIs to
     FPN levels with the SAME window-derived max_span as the forward being
     differentiated. With a hardcoded DEFAULT_MAX_SPAN, window=16 put the
@@ -147,13 +147,15 @@ def test_bwd_routes_levels_like_the_windowed_forward(window):
     rois = jnp.asarray([[[10.0, 10.0, 70.0, 70.0]]])
     out, vjp = jax.vjp(
         lambda f: multilevel_roi_align_windowed(
-            list(f), rois, [4, 8, 16, 32], window=window),
+            list(f), rois, [4, 8, 16, 32], window=window,
+            window_w=window_w),
         tuple(feats),
     )
     want = vjp(jnp.ones_like(out))[0]
     got = multilevel_roi_align_pallas_bwd(
         jnp.ones((1, 1, 7, 7, 128), jnp.float32), feats, rois,
         strides=(4, 8, 16, 32), interpret=True, window=window,
+        window_w=window_w,
     )
     for a, b in zip(want, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
