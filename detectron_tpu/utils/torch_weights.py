@@ -94,10 +94,186 @@ def load_resnet_backbone(params: dict, state_dict: dict,
     return traverse_util.unflatten_dict(flat)
 
 
+# ---------------------------------------------------------------------------
+# Full-detector import (RPN + FPN + box/mask heads, not just the backbone).
+#
+# The reference workflow fine-tunes from an ImageNet backbone, but mAP-parity
+# validation against reference-TRAINED checkpoints needs the whole detector
+# imported (round-2 verdict, missing item 5). The reference mount is empty,
+# so the exact key names of its .pth files are unverifiable; the rule table
+# below accepts both our canonical names and the Detectron/py-faster-rcnn
+# lineage names ([M]: fc6/fc7 box FCs, mask_fcn1-4 + conv5_mask + mask_fcn
+# _logits mask head, rpn cls/bbox convs) — adapting to a real checkpoint is
+# editing this table, not code. Layout transforms handled here:
+#   conv    OIHW -> HWIO
+#   deconv  (in,out,kh,kw) -> HWIO **with spatial flip** (torch
+#           ConvTranspose2d is the conv adjoint; flax ConvTranspose is a
+#           fractionally-strided correlation — verified numerically in
+#           tests/test_torch_weights.py)
+#   linear  (out,in) -> (in,out)
+#   fc1     additionally permutes the input dim from the torch CHW flatten
+#           of pooled RoI features to our HWC flatten
+#   rpn cls 2A-channel bg/fg softmax (bg first [K]) -> A-channel sigmoid
+#           logits via fg - bg (identical posterior)
+#   mask    K+1-channel predictors (bg channel first) -> our K fg channels
+# ---------------------------------------------------------------------------
+
+# (regex over torch keys) -> (our path tuple builder, kind)
+_DETECTOR_RULES = [
+    # FPN: ours lateral{l}/smooth{l}/p6/p7; Detectron-style fpn_inner / fpn_
+    # output aliases map onto the same modules.
+    (re.compile(r"fpn\.(lateral|smooth)(\d)\.(weight|bias)"),
+     lambda m: ("fpn", f"{m.group(1)}{m.group(2)}", m.group(3)), "conv"),
+    (re.compile(r"(?:fpn\.)?fpn_inner(\d)\.(weight|bias)"),
+     lambda m: ("fpn", f"lateral{m.group(1)}", m.group(2)), "conv"),
+    (re.compile(r"(?:fpn\.)?fpn_output(\d)\.(weight|bias)"),
+     lambda m: ("fpn", f"smooth{m.group(1)}", m.group(2)), "conv"),
+    (re.compile(r"fpn\.(p[67])\.(weight|bias)"),
+     lambda m: ("fpn", m.group(1), m.group(2)), "conv"),
+    # RPN head (rpn.-prefixed or py-faster-rcnn-style flat rpn_* names)
+    (re.compile(r"(?:rpn\.conv|rpn_conv)\.(weight|bias)"),
+     lambda m: ("rpn", "conv", m.group(1)), "conv"),
+    (re.compile(r"(?:rpn\.(?:cls_score|objectness)|rpn_cls_score)\."
+                r"(weight|bias)"),
+     lambda m: ("rpn", "objectness", m.group(1)), "rpn_cls"),
+    (re.compile(r"(?:rpn\.(?:bbox_pred|deltas)|rpn_bbox_pred)\.(weight|bias)"),
+     lambda m: ("rpn", "deltas", m.group(1)), "conv"),
+    # box head (fc6/fc7 are the lineage names for the two FCs)
+    (re.compile(r"(?:box_head\.)?fc[16]\.(weight|bias)"),
+     lambda m: ("box_head", "fc1", m.group(1)), "fc1"),
+    (re.compile(r"(?:box_head\.)?fc[27]\.(weight|bias)"),
+     lambda m: ("box_head", "fc2", m.group(1)), "linear"),
+    (re.compile(r"(?:box_head\.)?cls_score\.(weight|bias)"),
+     lambda m: ("box_head", "cls_score", m.group(1)), "linear"),
+    (re.compile(r"(?:box_head\.)?bbox_pred\.(weight|bias)"),
+     lambda m: ("box_head", "bbox_pred", m.group(1)), "linear"),
+    # mask head: our conv0-3 (0-based) vs lineage mask_fcn1-4 (1-based)
+    (re.compile(r"mask_head\.conv(\d)\.(weight|bias)"),
+     lambda m: ("mask_head", f"conv{m.group(1)}", m.group(2)), "conv"),
+    (re.compile(r"(?:mask_head\.)?mask_fcn(\d)\.(weight|bias)"),
+     lambda m: ("mask_head", f"conv{int(m.group(1)) - 1}", m.group(2)),
+     "conv"),
+    (re.compile(r"(?:mask_head\.)?(?:deconv|conv5_mask)\.(weight|bias)"),
+     lambda m: ("mask_head", "deconv", m.group(1)), "deconv"),
+    (re.compile(r"(?:mask_head\.)?(?:mask_logits|mask_fcn_logits)\."
+                r"(weight|bias)"),
+     lambda m: ("mask_head", "mask_logits", m.group(1)), "mask_logits"),
+]
+
+_BACKBONE_PREFIX = re.compile(r"(?:resnet\.|backbone\.)?(.*)")
+
+
+def convert_detector_state_dict(state_dict: dict,
+                                pooled_hw: tuple = (7, 7)) -> dict:
+    """Full-detector torch state_dict -> flat {flax path tuple: np array}.
+
+    Backbone keys (bare, ``resnet.``- or ``backbone.``-prefixed) go under
+    ("backbone", ...); head keys follow ``_DETECTOR_RULES``. ``pooled_hw``
+    is the RoI pooled grid the source's fc1 was trained on (needed to
+    permute its CHW flatten to our HWC flatten)."""
+    out = {}
+    for key, value in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        arr = _to_numpy(value).astype(np.float32)
+        matched = False
+        for rx, to_path, kind in _DETECTOR_RULES:
+            m = rx.fullmatch(key)
+            if not m:
+                continue
+            path = to_path(m)
+            leaf = path[-1]
+            if leaf == "weight":
+                path = path[:-1] + ("kernel",)
+                if kind in ("conv", "rpn_cls", "mask_logits"):
+                    arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+                elif kind == "deconv":
+                    # adjoint-conv -> strided-correlation: layout + flip
+                    arr = arr.transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+                elif kind == "fc1":
+                    arr = _permute_fc1(arr, pooled_hw).T
+                else:  # linear
+                    arr = arr.T
+            else:  # bias
+                path = path[:-1] + ("bias",)
+            out[path] = arr
+            matched = True
+            break
+        if matched:
+            continue
+        bare = _BACKBONE_PREFIX.fullmatch(key).group(1)
+        bpath = torch_key_to_flax_path(bare)
+        if bpath is None:
+            continue
+        if bpath[-1] == "kernel":
+            arr = arr.transpose(2, 3, 1, 0)
+        out[("backbone",) + bpath] = arr
+    return out
+
+
+def _fg_minus_bg(arr, axis):
+    """2A-channel bg/fg RPN softmax params (bg first [K]) -> A sigmoid
+    logits: softmax([bg, fg])[fg] == sigmoid(fg - bg), so the imported
+    sigmoid head reproduces the source's objectness posterior exactly."""
+    bg, fg = np.split(arr, 2, axis=axis)
+    return fg - bg
+
+
+def _permute_fc1(w, pooled_hw):
+    """fc1 weight (out, C*H*W) with torch CHW flatten -> HWC flatten."""
+    h, p_w = pooled_hw
+    o, i = w.shape
+    c = i // (h * p_w)
+    if c * h * p_w != i:
+        raise ValueError(f"fc1 in-dim {i} not divisible by pooled {h}x{p_w}")
+    return w.reshape(o, c, h, p_w).transpose(0, 2, 3, 1).reshape(o, i)
+
+
+def load_detector(params: dict, state_dict: dict,
+                  pooled_hw: tuple = (7, 7)) -> dict:
+    """Returns a copy of ``params`` with every matching subtree replaced by
+    the converted full-detector weights. Channel-count adapters (rpn 2A->A)
+    fire on shape evidence; any remaining mismatch raises."""
+    converted = convert_detector_state_dict(state_dict, pooled_hw=pooled_hw)
+    flat = dict(traverse_util.flatten_dict(params))
+    n_loaded = 0
+    for path, arr in converted.items():
+        full = ("params",) + path
+        if full not in flat:
+            raise KeyError(f"param {full} not found in model")
+        want = flat[full].shape
+        if want != arr.shape:
+            # channel-count adapters, fired on shape evidence only:
+            ax = -1 if path[-1] == "kernel" else 0
+            if (path[:2] == ("rpn", "objectness")
+                    and arr.shape[ax] == 2 * want[ax]):
+                # 2A bg/fg softmax source -> our A-channel sigmoid head
+                arr = _fg_minus_bg(arr, axis=ax)
+            elif (path[:2] == ("mask_head", "mask_logits")
+                    and arr.shape[ax] == want[ax] + 1):
+                # source carries an unused leading background channel
+                arr = np.take(arr, np.arange(1, arr.shape[ax]), axis=ax)
+            if want != arr.shape:
+                raise ValueError(f"shape mismatch at {full}: model {want} "
+                                 f"vs converted {arr.shape}")
+        flat[full] = arr
+        n_loaded += 1
+    if n_loaded == 0:
+        raise ValueError("no weights loaded")
+    return traverse_util.unflatten_dict(flat)
+
+
+_DETECTOR_KEY = re.compile(
+    r"(rpn[._]|box_head\.|mask_head\.|fpn\.|fpn_inner|fpn_output|fc[67]\.|"
+    r"cls_score\.|bbox_pred\.|mask_fcn)")
+
+
 def maybe_load_pretrained(cfg, params: dict) -> dict:
     """Driver entry point: if ``cfg.model.weights`` names a torch ``.pth``
-    (or numpy ``.npz``) ResNet state dict, return ``params`` with the
-    backbone subtree replaced; otherwise return ``params`` unchanged.
+    (or numpy ``.npz``) state dict, return ``params`` with the matching
+    subtrees replaced; otherwise return ``params`` unchanged. Backbone-only
+    state dicts (the ImageNet fine-tune workflow) replace just the backbone;
+    full-detector dicts (any RPN/head/FPN key) replace everything present.
     Wired into train.py / eval.py (reference: the unconditional
     load_pretrained fine-tune init in libs/nets/resnet.py + train.py)."""
     path = cfg.model.get("weights", "")
@@ -107,6 +283,9 @@ def maybe_load_pretrained(cfg, params: dict) -> dict:
         sd = dict(np.load(path))
     else:
         sd = load_pth(path)
+    if any(_DETECTOR_KEY.match(k) for k in sd):
+        p = cfg.roi.get("pool_size", 7)
+        return load_detector(params, sd, pooled_hw=(p, p))
     return load_resnet_backbone(params, sd)
 
 

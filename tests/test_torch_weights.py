@@ -140,6 +140,216 @@ def test_activation_parity_c2_to_c5():
         assert err < 2e-3, (name, err)
 
 
+class TorchBoxHead(tnn.Module):
+    """Lineage-named box head: fc6/fc7 on CHW-flattened pooled features."""
+
+    def __init__(self, c=32, p=7, hidden=64, k=4):
+        super().__init__()
+        self.fc6 = tnn.Linear(c * p * p, hidden)
+        self.fc7 = tnn.Linear(hidden, hidden)
+        self.cls_score = tnn.Linear(hidden, k)
+        self.bbox_pred = tnn.Linear(hidden, k * 4)
+
+    def forward(self, x):  # x: (R, C, P, P)
+        x = torch.relu(self.fc6(x.flatten(1)))
+        x = torch.relu(self.fc7(x))
+        return self.cls_score(x), self.bbox_pred(x)
+
+
+class TorchMaskHead(tnn.Module):
+    """Lineage-named mask head with a K+1-channel predictor (bg first)."""
+
+    def __init__(self, c=16, k=3):
+        super().__init__()
+        for i in range(1, 5):
+            setattr(self, f"mask_fcn{i}", tnn.Conv2d(c, c, 3, padding=1))
+        self.conv5_mask = tnn.ConvTranspose2d(c, c, 2, stride=2)
+        self.mask_fcn_logits = tnn.Conv2d(c, k + 1, 1)
+
+    def forward(self, x):  # (R, C, H, W)
+        for i in range(1, 5):
+            x = torch.relu(getattr(self, f"mask_fcn{i}")(x))
+        x = torch.relu(self.conv5_mask(x))
+        return self.mask_fcn_logits(x)
+
+
+class TorchRPN(tnn.Module):
+    """Lineage RPN: 3x3 conv + 2A-channel bg/fg softmax cls (bg first [K])
+    + 4A bbox conv."""
+
+    def __init__(self, c=32, a=3):
+        super().__init__()
+        self.conv = tnn.Conv2d(c, c, 3, padding=1)
+        self.cls_score = tnn.Conv2d(c, 2 * a, 1)
+        self.bbox_pred = tnn.Conv2d(c, 4 * a, 1)
+
+    def forward(self, x):
+        h = torch.relu(self.conv(x))
+        return self.cls_score(h), self.bbox_pred(h)
+
+
+def test_box_head_import_activation_parity():
+    """fc6/fc7 import must permute fc1's input dim from the torch CHW
+    flatten to our HWC flatten — logits must match exactly."""
+    from detectron_tpu.models.heads import BoxHead
+    from detectron_tpu.utils.torch_weights import load_detector
+
+    rng = np.random.RandomState(0)
+    c, p, k = 32, 7, 4
+    with torch.no_grad():
+        tm = TorchBoxHead(c=c, p=p, k=k)
+        pooled = rng.randn(5, c, p, p).astype(np.float32)
+        t_cls, t_reg = tm(torch.tensor(pooled))
+
+    fm = BoxHead(num_classes=k, hidden=64)
+    x = jnp.asarray(pooled.transpose(0, 2, 3, 1))[None]  # [1, R, P, P, C]
+    params = fm.init(jax.random.key(0), x)
+    loaded = load_detector(
+        {"params": {"box_head": params["params"]}}, tm.state_dict(),
+        pooled_hw=(p, p))
+    cls, reg = fm.apply({"params": loaded["params"]["box_head"]}, x)
+    np.testing.assert_allclose(np.asarray(cls[0]), t_cls.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg[0]).reshape(5, -1),
+                               t_reg.numpy(), atol=1e-5)
+
+
+def test_mask_head_import_activation_parity():
+    """Deconv needs layout + spatial flip; the K+1-channel lineage predictor
+    drops its bg channel. Mask logits must match the torch fg channels."""
+    from detectron_tpu.models.heads import MaskHead
+    from detectron_tpu.utils.torch_weights import load_detector
+
+    rng = np.random.RandomState(1)
+    c, k = 16, 3
+    with torch.no_grad():
+        tm = TorchMaskHead(c=c, k=k)
+        feat = rng.randn(2, c, 14, 14).astype(np.float32)
+        t_out = tm(torch.tensor(feat)).numpy()  # (2, k+1, 28, 28)
+
+    fm = MaskHead(num_classes=k + 1, channels=c)
+    x = jnp.asarray(feat.transpose(0, 2, 3, 1))[None]  # [1, R, 14, 14, C]
+    params = fm.init(jax.random.key(0), x)
+    loaded = load_detector(
+        {"params": {"mask_head": params["params"]}}, tm.state_dict())
+    out = fm.apply({"params": loaded["params"]["mask_head"]}, x)
+    ours = np.asarray(out[0]).transpose(0, 3, 1, 2)  # (2, k, 28, 28)
+    np.testing.assert_allclose(ours, t_out[:, 1:], atol=1e-5)
+
+
+def test_rpn_import_objectness_posterior_parity():
+    """2A bg/fg softmax -> A sigmoid via fg-bg: the objectness PROBABILITY
+    must match the source softmax fg probability exactly."""
+    from detectron_tpu.models.heads import RPNHead
+    from detectron_tpu.utils.torch_weights import load_detector
+
+    rng = np.random.RandomState(2)
+    c, a = 32, 3
+    with torch.no_grad():
+        tm = TorchRPN(c=c, a=a)
+        feat = rng.randn(1, c, 8, 8).astype(np.float32)
+        t_cls, t_reg = tm(torch.tensor(feat))
+        t_prob = torch.softmax(
+            t_cls.reshape(1, 2, a, 8, 8), dim=1)[:, 1].numpy()
+
+    fm = RPNHead(num_anchors=a, channels=c)
+    x = jnp.asarray(feat.transpose(0, 2, 3, 1))
+    params = fm.init(jax.random.key(0), x)
+    sd = {f"rpn.{k}": v for k, v in tm.state_dict().items()}
+    loaded = load_detector({"params": {"rpn": params["params"]}}, sd)
+    logits, deltas = fm.apply({"params": loaded["params"]["rpn"]}, x)
+    ours = 1.0 / (1.0 + np.exp(-np.asarray(logits).reshape(1, 8, 8, a)))
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), t_prob, atol=1e-5)
+    # torch channels are (h, w)-major after transpose; ours (h, w, a, 4)
+    want = t_reg.numpy().transpose(0, 2, 3, 1).reshape(1, -1, 4)
+    np.testing.assert_allclose(np.asarray(deltas), want, atol=1e-5)
+
+
+def test_full_detector_state_dict_covers_mask_rcnn(tmp_path):
+    """A full lineage-named detector dict loads into the zoo Mask R-CNN via
+    the maybe_load_pretrained driver path: every source tensor lands, heads
+    change, and a backbone-only dict still takes the backbone-only path."""
+    from detectron_tpu.config import get_config
+    from detectron_tpu.models.zoo import build_detector
+    from detectron_tpu.utils.torch_weights import maybe_load_pretrained
+
+    cfg = get_config()
+    cfg.model.name = "mask_rcnn"
+    cfg.model.num_classes = 4
+    cfg.model.fpn_channels = 32
+    det = build_detector(cfg)
+    params = det.init(jax.random.key(0), (64, 64))
+
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(params)
+    rng = np.random.RandomState(3)
+
+    def t_conv(path):  # HWIO model shape -> torch OIHW tensor
+        kh, kw, ci, co = flat[path].shape
+        return rng.randn(co, ci, kh, kw).astype(np.float32)
+
+    sd = {}
+    tm = TorchResNet50()
+    for k, v in tm.state_dict().items():
+        sd[f"resnet.{k}"] = v.numpy()
+    for lvl in (2, 3, 4, 5):
+        for nm in (f"lateral{lvl}", f"smooth{lvl}"):
+            sd[f"fpn.{nm}.weight"] = t_conv(("params", "fpn", nm, "kernel"))
+            sd[f"fpn.{nm}.bias"] = np.asarray(
+                flat[("params", "fpn", nm, "bias")])
+    sd["rpn.conv.weight"] = t_conv(("params", "rpn", "conv", "kernel"))
+    sd["rpn.conv.bias"] = rng.randn(32).astype(np.float32)
+    a = flat[("params", "rpn", "objectness", "kernel")].shape[-1]
+    sd["rpn.cls_score.weight"] = rng.randn(2 * a, 32, 1, 1).astype(np.float32)
+    sd["rpn.cls_score.bias"] = rng.randn(2 * a).astype(np.float32)
+    sd["rpn.bbox_pred.weight"] = t_conv(("params", "rpn", "deltas", "kernel"))
+    sd["rpn.bbox_pred.bias"] = rng.randn(4 * a).astype(np.float32)
+    hidden, cpp = (flat[("params", "box_head", "fc1", "kernel")].shape[1],
+                   flat[("params", "box_head", "fc1", "kernel")].shape[0])
+    sd["fc6.weight"] = rng.randn(hidden, cpp).astype(np.float32)
+    sd["fc6.bias"] = rng.randn(hidden).astype(np.float32)
+    sd["fc7.weight"] = rng.randn(hidden, hidden).astype(np.float32)
+    sd["fc7.bias"] = rng.randn(hidden).astype(np.float32)
+    for nm in ("cls_score", "bbox_pred"):
+        i, o = flat[("params", "box_head", nm, "kernel")].shape
+        sd[f"{nm}.weight"] = rng.randn(o, i).astype(np.float32)
+        sd[f"{nm}.bias"] = rng.randn(o).astype(np.float32)
+    mc = flat[("params", "mask_head", "conv0", "kernel")].shape[-1]
+    for i in range(1, 5):
+        sd[f"mask_fcn{i}.weight"] = t_conv(
+            ("params", "mask_head", f"conv{i - 1}", "kernel"))
+        sd[f"mask_fcn{i}.bias"] = rng.randn(mc).astype(np.float32)
+    sd["conv5_mask.weight"] = rng.randn(mc, mc, 2, 2).astype(np.float32)
+    sd["conv5_mask.bias"] = rng.randn(mc).astype(np.float32)
+    sd["mask_fcn_logits.weight"] = rng.randn(4, mc, 1, 1).astype(np.float32)
+    sd["mask_fcn_logits.bias"] = rng.randn(4).astype(np.float32)
+
+    npz = tmp_path / "detector.npz"
+    np.savez(npz, **sd)
+    cfg.model.weights = str(npz)
+    out = maybe_load_pretrained(cfg, params)
+    got = traverse_util.flatten_dict(out)
+    # heads replaced (not the init values), shapes intact
+    assert not np.allclose(got[("params", "box_head", "fc1", "kernel")],
+                           flat[("params", "box_head", "fc1", "kernel")])
+    assert not np.allclose(got[("params", "rpn", "objectness", "kernel")],
+                           flat[("params", "rpn", "objectness", "kernel")])
+    assert not np.allclose(
+        got[("params", "mask_head", "mask_logits", "kernel")],
+        flat[("params", "mask_head", "mask_logits", "kernel")])
+    for k in flat:
+        assert got[k].shape == flat[k].shape, k
+    # forward still runs with the imported weights
+    from detectron_tpu.data.synthetic import make_batch
+    batch = jax.tree.map(
+        jnp.asarray,
+        make_batch(np.random.RandomState(0), 1, (64, 64),
+                   cfg.model.num_classes))
+    ib = {k: v for k, v in batch.items()
+          if k not in ("gt_boxes", "gt_classes", "gt_masks")}
+    dets, masks = det.predict_fn(out, ib)
+    assert np.isfinite(np.asarray(dets.scores, np.float32)).all()
+
+
 def test_maybe_load_pretrained_driver_wiring(tmp_path):
     """cfg.model.weights -> backbone subtree replaced (train.py/eval.py path),
     for both .pth and .npz state dicts; "" is a no-op."""
