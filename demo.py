@@ -37,19 +37,18 @@ def main():
     from detectron_tpu.models.mask_rcnn import paste_masks_numpy
     from detectron_tpu.models.zoo import build_detector
     from detectron_tpu.train import checkpoint as ckpt
-    from detectron_tpu.train.state import create_train_state
     from detectron_tpu.utils.visualize import draw_detections
 
     cfg = get_config(args.config, args.cfg)
     det = build_detector(cfg)
     params = det.init(jax.random.key(0))
     if not args.no_restore:
-        state, _, _ = create_train_state(cfg, params)
+        # params-only restore (no need to reconstruct the train-time
+        # optimizer structure; see checkpoint.restore_params)
         mgr = ckpt.make_manager(cfg.output_dir)
-        if mgr.latest_step() is not None:
-            state = ckpt.restore(mgr, state)
-            params = state.params
-            print(f"restored step {int(state.step)}")
+        params, step = ckpt.restore_params(mgr, params)
+        if step is not None:
+            print(f"restored step {step}")
 
     os.makedirs(args.out, exist_ok=True)
     predict = jax.jit(lambda p, b: det.predict_fn(p, b))

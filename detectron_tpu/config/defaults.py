@@ -109,9 +109,16 @@ def base_config() -> ml_collections.ConfigDict:
     # falls back to gather when the coarsest level exceeds the window.
     cfg.roi.align_impl = "window"
     cfg.roi.window = 32  # interpolation window cells; see RoIFeatureExtractor
-    # x-extent of the window (0 = window + 8); lets the y/x extents be
-    # tuned independently (e.g. 28x36) without changing either routing dim
-    cfg.roi.window_w = 0
+    # x-extent of the interpolation window (0 = legacy window + 8). The
+    # symmetric 32x32 window is the measured best on v5e at 1024²: 135.7
+    # img/s at bs=32 (vs 133.1 at 32x40) and 140.3 at bs=48 — a 20%
+    # smaller window tensor with identical op semantics (span-aware
+    # routing keeps every impl exact; x-span bound tightens 36->28 cells,
+    # promoting only wide RoIs one level, same class of deviation as the
+    # y-bound the window always had). NOTE: both extents must cover the
+    # coarsest pooled level (32 cells at 1024², stride 32) or the align
+    # falls back to the slow gather path — a trace-time warning fires.
+    cfg.roi.window_w = 32
     # windowed-align RoI chunk (lax.map scan): bounds the [B,R,wh,ww,C]
     # window tensor (8.8 GB at bs=48 — the round-2 batch-scaling OOM).
     # 0 = unchunked; -1 = auto (unchunked under 6.5 GB, else ~4 GB chunks

@@ -319,6 +319,16 @@ def multilevel_roi_align_windowed(
                                     np.dtype(dtype).itemsize)
     if hs[-1] > win_h or ws[-1] > win_w:
         # coarsest level must fit whole (top-clamped RoI spans are unbounded)
+        import warnings
+
+        warnings.warn(
+            f"windowed RoIAlign: coarsest level ({hs[-1]}x{ws[-1]}) exceeds "
+            f"the {win_h}x{win_w} interpolation window -> falling back to "
+            f"the flat-gather path (slower; OOMs at large batch). Use "
+            f"roi.window >= {hs[-1]} and roi.window_w >= {ws[-1]} (or 0). "
+            "At 1024^2 with P2-P5 pooling the floor is 32x32.",
+            stacklevel=2,
+        )
         return multilevel_roi_align(
             list(features), rois, list(strides), output_size=output_size,
             sampling_ratio=sampling_ratio, min_level=min_level,

@@ -31,3 +31,27 @@ def restore(manager: ocp.CheckpointManager, template: TrainState) -> TrainState:
     if step is None:
         return template
     return manager.restore(step, args=ocp.args.StandardRestore(template))
+
+
+def restore_params(manager: ocp.CheckpointManager, params):
+    """Restore only (params, step) from the latest snapshot.
+
+    Structure-independent of the optimizer the training run used: eval
+    must not have to reconstruct the train-time optax chain (caught by
+    the fixture train->eval roundtrip test — a grad-clip knob set on the
+    train CLI but not the eval CLI changed opt_state's tree structure and
+    broke the full-state restore). Returns (params, step) or
+    (params, None) when no snapshot exists."""
+    step = manager.latest_step()
+    if step is None:
+        return params, None
+    import jax.numpy as jnp
+
+    out = manager.restore(
+        step,
+        args=ocp.args.PyTreeRestore(
+            {"step": jnp.asarray(step), "params": params},
+            partial_restore=True,
+        ),
+    )
+    return out["params"], int(out["step"])

@@ -73,7 +73,6 @@ def main():
         initialize_distributed, make_mesh, make_predict_step, shard_batch,
     )
     from detectron_tpu.train import checkpoint as ckpt
-    from detectron_tpu.train.state import create_train_state
 
     cfg = get_config(args.config, args.cfg)
     # multi-host: same wiring as train.py (SURVEY.md §5.8) — each host
@@ -91,11 +90,13 @@ def main():
         params = maybe_load_pretrained(cfg, params)
         print(f"initialized backbone from {cfg.model.weights}")
     if not args.no_restore:
-        state, _, _ = create_train_state(cfg, params)
+        # params-only restore: structure-independent of whatever optax
+        # chain the TRAINING invocation used (its train.* knobs need not
+        # be repeated on the eval CLI; see checkpoint.restore_params)
         mgr = ckpt.make_manager(cfg.output_dir)
-        state = ckpt.restore(mgr, state)
-        params = state.params
-        print(f"restored step {int(state.step)} from {cfg.output_dir}")
+        params, step = ckpt.restore_params(mgr, params)
+        if step is not None:
+            print(f"restored step {step} from {cfg.output_dir}")
 
     mesh = make_mesh(cfg.parallel.num_devices)
     predict = make_predict_step(det, mesh)
