@@ -108,17 +108,18 @@ def base_config() -> ml_collections.ConfigDict:
     # default. Exact, with documented border-replicate for >5:1-aspect RoIs;
     # falls back to gather when the coarsest level exceeds the window.
     cfg.roi.align_impl = "window"
-    cfg.roi.window = 32  # interpolation window cells; see RoIFeatureExtractor
-    # x-extent of the interpolation window (0 = legacy window + 8). The
-    # symmetric 32x32 window is the measured best on v5e at 1024²: 135.7
-    # img/s at bs=32 (vs 133.1 at 32x40) and 140.3 at bs=48 — a 20%
-    # smaller window tensor with identical op semantics (span-aware
-    # routing keeps every impl exact; x-span bound tightens 36->28 cells,
-    # promoting only wide RoIs one level, same class of deviation as the
-    # y-bound the window always had). NOTE: both extents must cover the
-    # coarsest pooled level (32 cells at 1024², stride 32) or the align
-    # falls back to the slow gather path — a trace-time warning fires.
-    cfg.roi.window_w = 32
+    # interpolation window extents (cells). -1/0 = AUTO per dim: the
+    # measured-best 32, raised (8-aligned) to cover the coarsest pooled
+    # level — 32x32 at 1024² (135.7 img/s at bs=32 vs 133.1 for the old
+    # 32x40; 140.3 at bs=48; 20% smaller window tensor, identical op
+    # semantics via span-aware routing), 32x48 / 48x32 on the 832x1344
+    # orientation-bucket canvases. Windows that do NOT cover the coarsest
+    # level silently cost 2x (gather fallback + trace-time warning —
+    # measured 65 vs ~130 img/s); auto mode makes that impossible.
+    # Explicit ints override for A/Bs (window_w=0 + explicit window =
+    # legacy window+8).
+    cfg.roi.window = -1
+    cfg.roi.window_w = 0
     # windowed-align RoI chunk (lax.map scan): bounds the [B,R,wh,ww,C]
     # window tensor (8.8 GB at bs=48 — the round-2 batch-scaling OOM).
     # 0 = unchunked; -1 = auto (unchunked under 6.5 GB, else ~4 GB chunks

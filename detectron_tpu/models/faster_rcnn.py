@@ -93,11 +93,12 @@ class TwoStageDetector(nn.Module):
     include_mask: bool = False
     pool_type: str = "align"  # align | pool (reference ships both ops)
     align_impl: str = "gather"  # gather | window (separable-matmul XLA path)
-    # interpolation window of the windowed path (cells; span bound follows).
-    # Smaller = less gather traffic but more RoIs promoted a level coarser;
-    # 32 is the validated default — smaller values need real-data mAP
-    # evidence before shipping (they change FPN routing for band-top RoIs).
-    roi_window: int = 32
+    # interpolation window of the windowed path (cells; span bound
+    # follows). -1/0 = auto per dim: 32 raised to cover the coarsest
+    # pooled level (ops/roi_align.py::resolve_window). Smaller explicit
+    # values = less gather traffic but more RoIs promoted a level coarser
+    # (change FPN routing for band-top RoIs — need real-data mAP evidence).
+    roi_window: int = -1
     # RoI chunking of the windowed align (lax.map over chunks of this many
     # RoIs per image): bounds the [B, R, wh, ww, C] window tensor, which at
     # bs=48 was the single 8.8 GB allocation that OOMed inference. 0 = off;
@@ -204,7 +205,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         include_mask=include_mask,
         pool_type=cfg.roi.get("pool_type", "align"),
         align_impl=cfg.roi.get("align_impl", "gather"),
-        roi_window=cfg.roi.get("window", 32),
+        roi_window=cfg.roi.get("window", -1),
         roi_chunk=cfg.roi.get("chunk", -1),
         roi_window_w=cfg.roi.get("window_w", 0),
         norm=cfg.model.get("norm", "frozen_bn"),

@@ -244,6 +244,25 @@ _AUTO_CHUNK_UNCHUNKED_BYTES = 6_500_000_000
 _AUTO_CHUNK_TARGET_BYTES = 4_000_000_000
 
 
+def resolve_window(window, window_w, top_h, top_w):
+    """Resolve the interpolation window extents from the knobs + the
+    coarsest pooled level's static shape.
+
+    window <= 0 (the cfg default) = AUTO per dim: the measured-best 32,
+    raised (8-aligned) to cover the coarsest level so the windowed path
+    never falls back to the flat gather — 32x32 at 1024² square, 32x48
+    on the 832x1344 landscape bucket, 48x32 portrait (the fallback cost
+    2x: 65 vs ~130 img/s, DESIGN.md §7). Explicit ints pass through
+    (window_w == 0 with an explicit window keeps the legacy window+8).
+    The Pallas backward resolves with THIS SAME function so forward and
+    backward route RoIs to identical FPN levels."""
+    if window <= 0:
+        win_h = max(32, -(-int(top_h) // 8) * 8)
+        win_w = window_w if window_w > 0 else max(32, -(-int(top_w) // 8) * 8)
+        return win_h, win_w
+    return window, (window_w if window_w > 0 else window + 8)
+
+
 def _resolve_auto_chunk(b, r, win_h, win_w, c, itemsize):
     per_roi = int(win_h) * int(win_w) * int(c) * int(itemsize)
     if b * r * per_roi <= _AUTO_CHUNK_UNCHUNKED_BYTES:
@@ -309,10 +328,10 @@ def multilevel_roi_align_windowed(
 
     hs = np.array([f.shape[1] for f in features])
     ws = np.array([f.shape[2] for f in features])
-    # window_w decouples the x-extent from the y-extent (roi.window_w knob;
-    # 0 = the legacy square-ish window+8). Routing max_span follows BOTH
-    # dims so the level assignment keeps every RoI inside its window.
-    win_h, win_w = window, (window_w or window + 8)
+    # window <= 0 = auto from the coarsest level; window_w decouples the
+    # x-extent (0 = auto/legacy — see resolve_window). Routing max_span
+    # follows BOTH dims so level assignment keeps RoIs inside the window.
+    win_h, win_w = resolve_window(window, window_w, hs[-1], ws[-1])
     max_span = (float(win_h - 4), float(win_w - 4))
     if chunk == -1:  # auto: resolve from static shapes (see docstring)
         chunk = _resolve_auto_chunk(b, r, win_h, win_w, c,

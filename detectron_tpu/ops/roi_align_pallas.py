@@ -504,8 +504,13 @@ def multilevel_roi_align_pallas_bwd(
     p = output_size
     dtype = features[0].dtype
 
-    max_span = (float(window - 4), float((window_w or window + 8) - 4))
     top_h, top_w = features[-1].shape[1:3]
+    # resolve EXACTLY like the windowed forward (incl. window<=0 auto mode)
+    # so fwd/bwd assign RoIs to identical FPN levels
+    from detectron_tpu.ops.roi_align import resolve_window
+
+    rwin_h, rwin_w = resolve_window(window, window_w, top_h, top_w)
+    max_span = (float(rwin_h - 4), float(rwin_w - 4))
     on_tpu = jax.default_backend() == "tpu" or interpret
     if not on_tpu or top_h > 48 or top_w > 48 or c % 128 != 0:
         out, vjp = jax.vjp(

@@ -404,6 +404,47 @@ def test_asymmetric_window_matches_gather_oracle():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_resolve_window_auto():
+    """roi.window=-1 (cfg default) resolves per dim: the measured-best 32,
+    raised 8-aligned to cover the coarsest pooled level. The 832x1344
+    orientation buckets measured 2x slower (65 vs ~130 img/s) when the
+    fixed 32x32 window forced the gather fallback."""
+    from detectron_tpu.ops.roi_align import resolve_window
+
+    assert resolve_window(-1, 0, 32, 32) == (32, 32)   # 1024² square
+    assert resolve_window(-1, 0, 26, 42) == (32, 48)   # 832x1344 landscape
+    assert resolve_window(-1, 0, 42, 26) == (48, 32)   # 1344x832 portrait
+    assert resolve_window(-1, 0, 8, 8) == (32, 32)     # tiny levels: floor
+    assert resolve_window(-1, 36, 26, 42) == (32, 36)  # explicit x override
+    assert resolve_window(32, 0, 32, 32) == (32, 40)   # legacy window+8
+    assert resolve_window(28, 36, 26, 42) == (28, 36)  # explicit both
+
+
+def test_auto_window_nonsquare_matches_gather_oracle():
+    """Auto-resolved 32x48 window on a landscape pyramid (coarsest 26x42
+    cells) must stay exact vs the gather path routed with the same span
+    bound — the case the fixed window could only serve via fallback."""
+    import warnings
+
+    from detectron_tpu.ops.roi_align import (
+        multilevel_roi_align, multilevel_roi_align_windowed)
+
+    rng = np.random.RandomState(3)
+    feats = [jnp.asarray(rng.randn(1, 208 >> i, 336 >> i, 8), jnp.float32)
+             for i in range(4)]  # strides 1,2,4,8: coarsest 26x42
+    xy = rng.rand(1, 32, 2) * np.array([300.0, 180.0])
+    wh = np.exp(rng.uniform(np.log(2), np.log(200), (1, 32, 2)))
+    rois = jnp.asarray(np.concatenate(
+        [xy, np.minimum(xy + wh, [335.0, 207.0])], -1))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the auto window must NOT fall back
+        a = multilevel_roi_align_windowed(feats, rois, [1, 2, 4, 8],
+                                          window=-1)
+    b = multilevel_roi_align(feats, rois, [1, 2, 4, 8],
+                             max_span=(28.0, 44.0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_auto_chunk_resolution():
     """roi.chunk=-1 resolves from static shapes: small programs stay
     unchunked; a bs=48 1024² Mask R-CNN-shaped program lands in the

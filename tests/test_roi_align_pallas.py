@@ -129,7 +129,8 @@ def test_custom_vjp_gradients_match_jnp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
-@pytest.mark.parametrize("window,window_w", [(16, 0), (32, 0), (28, 36)])
+@pytest.mark.parametrize("window,window_w",
+                         [(16, 0), (32, 0), (28, 36), (-1, 0)])
 def test_bwd_routes_levels_like_the_windowed_forward(window, window_w):
     """Regression (round-3 advisor, high): the backward must assign RoIs to
     FPN levels with the SAME window-derived max_span as the forward being
