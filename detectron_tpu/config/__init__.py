@@ -57,6 +57,11 @@ def cfg_from_list(pairs: Iterable[str], cfg: ml_collections.ConfigDict | None = 
         value = yaml.safe_load(raw)
         if isinstance(old, tuple) and isinstance(value, list):
             value = tuple(value)
+        if isinstance(old, str) and not isinstance(value, str):
+            # YAML 1.1 coerces on/off/yes/no to bool (and bare numbers to
+            # int): string-typed knobs like model.fused_roi_align=on must
+            # keep the literal text
+            value = raw.strip()
         node[leaf] = value
     return cfg
 

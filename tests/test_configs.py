@@ -47,6 +47,16 @@ def test_cli_override_layering():
     assert cfg.model.name == "mask_rcnn"  # from YAML
 
 
+def test_cli_override_yaml11_bool_words_stay_strings():
+    """YAML 1.1 parses on/off/yes/no as bools; string-typed knobs like
+    model.fused_roi_align=on must receive the literal text (this broke
+    every fused-flag CLI A/B with a TypeError)."""
+    cfg = get_config(overrides=["model.fused_roi_align=on",
+                                "model.fused_nms=off"])
+    assert cfg.model.fused_roi_align == "on"
+    assert cfg.model.fused_nms == "off"
+
+
 def test_unknown_yaml_key_rejected(tmp_path):
     bad = tmp_path / "bad.yaml"
     bad.write_text("model:\n  nonexistent_key: 1\n")
