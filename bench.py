@@ -43,7 +43,9 @@ def main():
     # Train is flat beyond bs=8 (41.4 vs 41.9 at 16, which doubles step
     # latency) -> infer bs=48, train bs=8 are the headlines.
     ap.add_argument("--batch", type=int, default=48)
-    ap.add_argument("--train-batch", type=int, default=8,
+    # train scaling un-flattened in round 3 (window fix): bs=16 45.4 img/s
+    # beats bs=8's 44.9 — headline at 16
+    ap.add_argument("--train-batch", type=int, default=16,
                     help="train bench batch (0 = same as --batch)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
