@@ -63,6 +63,9 @@ def base_config() -> ml_collections.ConfigDict:
     # Two-stage (RPN over P2..P6): one scale per level, 3 ratios.
     cfg.anchors.ratios = (0.5, 1.0, 2.0)
     cfg.anchors.rpn_scales = (8.0,)  # * stride, per FPN level
+    # R-FCN: single-level RPN at stride 16 — the paper's 128/256/512-px
+    # anchors (scales * stride)
+    cfg.anchors.rfcn_scales = (8.0, 16.0, 32.0)
     # RetinaNet (P3..P7): 3 octave scales x 3 ratios = 9 anchors / cell.
     cfg.anchors.retinanet_scales = (1.0, 1.2599210498948732, 1.5874010519681994)
     cfg.anchors.retinanet_base_scale = 4.0

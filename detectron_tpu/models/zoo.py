@@ -24,8 +24,9 @@ import jax.numpy as jnp
 
 from detectron_tpu.models import faster_rcnn as frcnn
 from detectron_tpu.models import retinanet as retina
+from detectron_tpu.models import rfcn as rfcn_mod
 
-MODEL_NAMES = ("faster_rcnn", "mask_rcnn", "retinanet")
+MODEL_NAMES = ("faster_rcnn", "mask_rcnn", "retinanet", "rfcn")
 
 
 class Detector:
@@ -40,6 +41,8 @@ class Detector:
         self.with_masks = self.name == "mask_rcnn"
         if self.is_two_stage:
             self.module = frcnn.build_two_stage(cfg, include_mask=self.with_masks)
+        elif self.name == "rfcn":
+            self.module = rfcn_mod.build_rfcn(cfg)
         else:
             self.module = retina.RetinaNet(
                 num_classes=cfg.model.num_classes - 1,
@@ -58,7 +61,7 @@ class Detector:
     def init(self, key, image_size=None):
         h, w = image_size or self.cfg.data.image_size
         images = jnp.zeros((1, h, w, 3), jnp.float32)
-        if self.is_two_stage:
+        if self.is_two_stage or self.name == "rfcn":
             rois = jnp.zeros((1, 4, 4)).at[:, :, 2:].set(64.0)
             return jax.jit(self.module.init)(key, images, rois)
         return jax.jit(self.module.init)(key, images)
@@ -72,6 +75,11 @@ class Detector:
                 self.module, params, batch["image"], batch["image_hw"],
                 batch["gt_boxes"], batch["gt_classes"], key, cfg,
                 gt_masks=batch.get("gt_masks") if self.with_masks else None,
+            )
+        elif self.name == "rfcn":
+            loss_dict = rfcn_mod.rfcn_train_forward(
+                self.module, params, batch["image"], batch["image_hw"],
+                batch["gt_boxes"], batch["gt_classes"], key, cfg,
             )
         else:
             gen = retina.retinanet_anchor_generator(cfg)
@@ -91,6 +99,10 @@ class Detector:
             return frcnn.faster_rcnn_eval_forward(
                 self.module, params, batch["image"], batch["image_hw"], cfg,
                 with_masks=self.with_masks,
+            )
+        if self.name == "rfcn":
+            return rfcn_mod.rfcn_eval_forward(
+                self.module, params, batch["image"], batch["image_hw"], cfg,
             )
         gen = retina.retinanet_anchor_generator(cfg)
         anchors_pl = gen.grid_anchors(batch["image"].shape[1:3])
