@@ -35,6 +35,11 @@ def base_config() -> ml_collections.ConfigDict:
     # from pretrained stats) or "gn" (trainable GroupNorm-32 backbone, the
     # train-from-scratch variant; GN params stay in the optimizer)
     cfg.model.norm = "frozen_bn"
+    # a-trous res5 (R-FCN paper trunk): stage 4 at stride 16 with dilation-2
+    # 3x3 convs; R-FCN then votes over the dilated c5 instead of c4. Same
+    # weight shapes (torchvision import unchanged). Off = the lighter C4
+    # trunk. Only consumed by model.name=rfcn.
+    cfg.model.dilate_c5 = False
     # pretrained backbone init: path to a torchvision-style ResNet .pth
     # state dict (the reference always fine-tunes from these; reference:
     # load_pretrained in libs/nets/resnet.py). "" = random init.

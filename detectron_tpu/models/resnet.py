@@ -50,13 +50,15 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
-def conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
-    pad = (kernel - 1) // 2
+def conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
+         dilation=1):
+    pad = dilation * (kernel - 1) // 2
     return nn.Conv(
         features,
         (kernel, kernel),
         strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
+        kernel_dilation=(dilation, dilation),
         use_bias=False,
         name=name,
         dtype=dtype,
@@ -130,6 +132,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     norm: str = "frozen_bn"
+    dilation: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -138,7 +141,8 @@ class Bottleneck(nn.Module):
         out = conv(self.features, 1, 1, "conv1", self.dtype)(x)
         out = make_norm(self.norm, self.features, "bn1", self.dtype)(out)
         out = nn.relu(out)
-        out = conv(self.features, 3, self.stride, "conv2", self.dtype)(out)
+        out = conv(self.features, 3, self.stride, "conv2", self.dtype,
+                   dilation=self.dilation)(out)
         out = make_norm(self.norm, self.features, "bn2", self.dtype)(out)
         out = nn.relu(out)
         out = conv(self.features * 4, 1, 1, "conv3", self.dtype)(out)
@@ -160,6 +164,10 @@ class ResNet(nn.Module):
     frozen_stages: int = 1  # 1 = freeze conv1 + res2 like the reference
     norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
     stem: str = "conv"  # conv (7x7/2) | s2d (space-to-depth 4x4/12ch, exact)
+    # a-trous res5 (the R-FCN paper trunk): stage 4 keeps stride 16 and
+    # dilates its 3x3 convs by 2 — c5 comes out at c4's resolution. Weight
+    # shapes are unchanged, so torchvision import works as-is.
+    dilate_c5: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -177,12 +185,20 @@ class ResNet(nn.Module):
         features = 64
         for stage, num_blocks in enumerate(blocks):
             stride = 1 if stage == 0 else 2
+            dilation = 1
+            if stage == 3 and self.dilate_c5:
+                # paper-faithful a trous (py-R-FCN lineage): stride 1 +
+                # dilation 2 on EVERY res5 3x3 (torchvision's
+                # replace_stride_with_dilation leaves the first block at
+                # dilation 1; weights are identical either way)
+                stride, dilation = 1, 2
             for i in range(num_blocks):
                 x = Bottleneck(
                     features,
                     stride=stride if i == 0 else 1,
                     downsample=(i == 0),
                     norm=self.norm,
+                    dilation=dilation,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}",
                 )(x)

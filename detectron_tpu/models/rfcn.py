@@ -14,9 +14,9 @@ this module gives it its consumer so the capability is end-to-end:
 TPU-first notes: everything reuses the static-shape machinery of
 faster_rcnn.py (anchor targets, padded proposals, RoI sampling, fused
 class-aware NMS) — the whole train/eval forward is one XLA program. The
-paper's dilated res5 trunk is replaced by the stride-16 C4 trunk (no
-dilation support in the backbone; documented deviation — R-FCN's defining
-idea, the position-sensitive vote, is what's reproduced exactly).
+trunk is configurable: the default stride-16 C4 (lighter), or the paper's
+a-trous res5 (``model.dilate_c5=true`` — stride-16 dilated c5, XLA
+handles dilated convs natively on the MXU).
 
 Reference: libs/nets/ R-FCN variant + PSRoIPool CUDA op [M]; the R-FCN
 paper (Dai et al., 2016) for the published architecture constants.
@@ -66,13 +66,16 @@ class RFCN(nn.Module):
     ps_pool: int = 7
     sampling_ratio: int = 2
     norm: str = "frozen_bn"
+    # True = the paper's a-trous res5 trunk (dilated c5 at stride 16);
+    # False = the lighter c4 trunk (documented deviation, same stride)
+    dilate_c5: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.body = ResNet(
             depth=self.backbone, frozen_stages=self.frozen_stages,
-            norm=self.norm, stem=self.stem, dtype=self.dtype,
-            name="backbone",
+            norm=self.norm, stem=self.stem, dilate_c5=self.dilate_c5,
+            dtype=self.dtype, name="backbone",
         )
         self.trunk = nn.Conv(self.channels, (3, 3), padding="SAME",
                              name="trunk", dtype=self.dtype)
@@ -90,8 +93,10 @@ class RFCN(nn.Module):
         )
 
     def features(self, images):
-        c4 = self.body(images)["c4"]
-        return nn.relu(self.trunk(c4))
+        feats = self.body(images)
+        # both trunks are stride 16: c4 natively, c5 via the a-trous stage
+        x = feats["c5"] if self.dilate_c5 else feats["c4"]
+        return nn.relu(self.trunk(x))
 
     def rpn(self, feat):
         s, d = self.rpn_head(feat)
@@ -133,6 +138,7 @@ def build_rfcn(cfg) -> RFCN:
         ps_pool=cfg.roi.pool_size,
         sampling_ratio=cfg.roi.sampling_ratio,
         norm=cfg.model.get("norm", "frozen_bn"),
+        dilate_c5=cfg.model.get("dilate_c5", False),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )
 

@@ -275,7 +275,8 @@ def multilevel_roi_align_pallas(
 
 
 def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
-                     max_span=DEFAULT_MAX_SPAN, kbatch=1):
+                     max_span=DEFAULT_MAX_SPAN, kbatch=1,
+                     matmul_order="sep"):
     num_levels = len(level_shapes)
     # Window extents are derived from the ROUTING bound, not vice versa:
     # at any non-coarsest level the assignment promotes spans to <= max_span
@@ -405,23 +406,44 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
                     prec = (jax.lax.Precision.HIGHEST
                             if out_dtype == jnp.float32
                             else jax.lax.Precision.DEFAULT)
-                    # t[y, q, ch] = sum_p wy[p, y] g[p, q, ch]
-                    t = jnp.dot(
-                        wy.T, g.reshape(pool, pool * c),
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    ).reshape(win_h, pool, c)
-                    # d_win[x, y, ch] = sum_q wx[q, x] t[y, q, ch] —
-                    # contracting so C stays the LANE dim: the (x, y) swap
-                    # below touches only sublane-major dims (cheap), unlike
-                    # a (c, x) minor transpose which blew the VMEM stack
-                    d_win = jax.lax.dot_general(
-                        wx, t,
-                        dimension_numbers=(((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )  # [win_w, win_h, c]
-                    d_win = jnp.transpose(d_win, (1, 0, 2))
+                    if matmul_order == "noT":
+                        # contract q FIRST, then p — the product comes out
+                        # [win_h, win_w, c] directly, skipping the final
+                        # sublane transpose (A/B candidate; measured in
+                        # scripts/bench_roialign_bwd.py)
+                        # u[x, p, ch] = sum_q wx[q, x] g[p, q, ch]
+                        u = jax.lax.dot_general(
+                            wx, g,
+                            dimension_numbers=(((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )  # [win_w, pool, c]
+                        # d_win[y, x, ch] = sum_p wy[p, y] u[x, p, ch]
+                        d_win = jax.lax.dot_general(
+                            wy, u,
+                            dimension_numbers=(((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )  # [win_h, win_w, c]
+                    else:
+                        # t[y, q, ch] = sum_p wy[p, y] g[p, q, ch]
+                        t = jnp.dot(
+                            wy.T, g.reshape(pool, pool * c),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        ).reshape(win_h, pool, c)
+                        # d_win[x, y, ch] = sum_q wx[q, x] t[y, q, ch] —
+                        # contracting so C stays the LANE dim: the (x, y)
+                        # swap below touches only sublane-major dims
+                        # (cheap), unlike a (c, x) minor transpose which
+                        # blew the VMEM stack
+                        d_win = jax.lax.dot_general(
+                            wx, t,
+                            dimension_numbers=(((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )  # [win_w, win_h, c]
+                        d_win = jnp.transpose(d_win, (1, 0, 2))
                     read.wait()
                     acc = win_scratch[
                         slot, pl.ds(0, win_h), pl.ds(0, win_w), :
@@ -468,7 +490,7 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
     jax.jit,
     static_argnames=(
         "strides", "output_size", "sampling_ratio", "min_level", "interpret",
-        "window", "window_w",
+        "window", "window_w", "matmul_order",
     ),
 )
 def multilevel_roi_align_pallas_bwd(
@@ -482,6 +504,7 @@ def multilevel_roi_align_pallas_bwd(
     interpret: bool = False,
     window: int = WINDOW,
     window_w: int = 0,
+    matmul_order: str = "sep",
 ):
     """d(multilevel_roi_align)/d(features) as a Pallas kernel.
 
@@ -545,6 +568,7 @@ def multilevel_roi_align_pallas_bwd(
     kernel, (wh, ww, _) = _make_bwd_kernel(
         level_shapes, orig_wls, tuple(float(s) for s in strides), p,
         sampling_ratio, dtype, max_span=max_span, kbatch=kbatch,
+        matmul_order=matmul_order,
     )
 
     zeros = [jnp.zeros(s, dtype) for s in padded_shapes]

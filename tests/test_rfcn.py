@@ -82,6 +82,33 @@ def test_rfcn_builds_and_votes_position_sensitively():
     assert not np.allclose(np.asarray(cls_a), np.asarray(cls_b), atol=1e-5)
 
 
+def test_rfcn_dilated_c5_trunk():
+    """model.dilate_c5: the a-trous res5 trunk (the paper's) — c5 comes out
+    at stride 16 (c4 resolution) and the detector runs end-to-end on it."""
+    from detectron_tpu.models.resnet import ResNet
+
+    net = ResNet(depth="resnet50", dilate_c5=True)
+    params = net.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    feats = net.apply(params, jnp.zeros((1, 64, 64, 3)))
+    assert feats["c5"].shape[1:3] == feats["c4"].shape[1:3] == (4, 4)
+    # weight shapes unchanged vs the strided stage (torchvision import)
+    plain = ResNet(depth="resnet50").init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    assert jax.tree.map(jnp.shape, params) == jax.tree.map(jnp.shape, plain)
+
+    cfg = _cfg()
+    cfg_from_list(["model.dilate_c5=True"], cfg)
+    det = build_detector(cfg)
+    params = det.init(jax.random.key(0), (128, 128))
+    batch = jax.tree.map(
+        jnp.asarray,
+        make_batch(np.random.RandomState(0), 1, (128, 128),
+                   cfg.model.num_classes, max_gt=8),
+    )
+    total, _ = det.loss_fn(params, batch, jax.random.key(1))
+    assert np.isfinite(float(total))
+
+
 @pytest.mark.slow
 def test_rfcn_overfits_synthetic():
     """Loss drops decisively on a fixed tiny batch (the reference lineage's
