@@ -97,6 +97,15 @@ def test_eval_driver_real_predict_smoke(monkeypatch, fixture_root, tmp_path):
         assert v is None or (isinstance(v, float) and v <= 1.0)
 
 
+def test_eval_driver_rfcn_smoke(monkeypatch, fixture_root, tmp_path):
+    """The R-FCN family through the real eval.py path (jitted predict,
+    random weights): all images run, finite metrics."""
+    res = _run_eval(monkeypatch, fixture_root, tmp_path, "rfcn")
+    assert set(res) >= {"AP", "AP50", "AR"}
+    for v in res.values():
+        assert v is None or (isinstance(v, float) and v <= 1.0)
+
+
 def test_fixture_structure(fixture_root):
     """The fixture exercises the formats the adapter must parse: polygons,
     compressed + uncompressed crowd RLE, non-contiguous category ids."""
