@@ -274,6 +274,18 @@ def multilevel_roi_align_pallas(
 # ---------------------------------------------------------------------------
 
 
+def _bwd_windows(level_shapes, max_span):
+    """Per-level backward DMA window extents (see _make_bwd_kernel notes)."""
+    mh, mw = max_span
+    wh_req = int(np.ceil(mh)) + 4
+    ww_req = int(np.ceil(mw)) + 10
+    ww_req += -ww_req % 8  # keep lane-dim slices (8, 128)-tile friendly
+    return [
+        (min(h, wh_req), min(w, ww_req))
+        for (h, w, _) in level_shapes[:-1]
+    ] + [level_shapes[-1][:2]]
+
+
 def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
                      max_span=DEFAULT_MAX_SPAN, kbatch=1,
                      matmul_order="sep"):
@@ -290,14 +302,7 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
     # The COARSEST level is always used whole (top-clamped spans are
     # unbounded; the caller guards top <= 48): limit-clipping to the true
     # level size keeps every sample inside a whole-level window.
-    mh, mw = max_span
-    wh_req = int(np.ceil(mh)) + 4
-    ww_req = int(np.ceil(mw)) + 10
-    ww_req += -ww_req % 8  # keep lane-dim slices (8, 128)-tile friendly
-    wins = [
-        (min(h, wh_req), min(w, ww_req))
-        for (h, w, _) in level_shapes[:-1]
-    ] + [level_shapes[-1][:2]]
+    wins = _bwd_windows(level_shapes, max_span)
     c = level_shapes[0][2]
     max_wh = max(w[0] for w in wins)
     max_ww = max(w[1] for w in wins)
@@ -392,6 +397,34 @@ def _make_bwd_kernel(level_shapes, orig_wls, strides, pool, ratio, out_dtype,
                     ]
                     read = pltpu.make_async_copy(region, dst, sems.at[0])
                     read.start()
+                    if matmul_order == "xla":
+                        # d_window was precomputed OUTSIDE the kernel by
+                        # batched XLA dot_generals (full-MXU; see the
+                        # wrapper) — the block pipeline streams it in and
+                        # this body is a pure DMA read-add-write, no
+                        # matmuls, no interpolation-matrix VPU work.
+                        d_win = g_ref[0, pl.ds(0, win_h), pl.ds(0, win_w), :
+                                      ].astype(jnp.float32)
+                        read.wait()
+                        acc = win_scratch[
+                            slot, pl.ds(0, win_h), pl.ds(0, win_w), :
+                        ]
+                        win_scratch[
+                            slot, pl.ds(0, win_h), pl.ds(0, win_w), :
+                        ] = (acc.astype(jnp.float32) + d_win).astype(out_dtype)
+                        drain_prev(pending & ~hazard, slot)
+                        write = pltpu.make_async_copy(dst, region, sems.at[1])
+                        write.start()
+                        meta[0] = bidx_ref[m]
+                        meta[1] = l
+                        meta[2] = y0
+                        meta[3] = x0
+                        meta[4] = 1
+                        if last is not None:
+                            @pl.when(last)
+                            def _():
+                                write.wait()
+                        return
                     wy = _interp_matrix(fy1, fh, y0, win_h, hl, pool, ratio)
                     wx = _interp_matrix(fx1, fw, x0, win_w, wl_clamp, pool,
                                         ratio)
@@ -508,6 +541,12 @@ def multilevel_roi_align_pallas_bwd(
 ):
     """d(multilevel_roi_align)/d(features) as a Pallas kernel.
 
+    matmul_order: "sep" (default, in-kernel Wy^T@g then wx·t), "noT"
+    (in-kernel, transpose-free contraction order), or "xla" (precompute
+    every RoI's d_window with batched XLA dot_generals and stream the
+    blocks through a matmul-free read-add-write kernel — trades one
+    [B·R, wh, ww, C] HBM tensor for full-MXU interpolation matmuls).
+
     `window` (+ optional asymmetric `window_w`) is the ROUTING window of
     the forward being differentiated: RoIs are assigned levels with
     max_span = (window-4, (window_w or window+8)-4), exactly as
@@ -571,13 +610,35 @@ def multilevel_roi_align_pallas_bwd(
         matmul_order=matmul_order,
     )
 
+    if matmul_order == "xla":
+        # Precompute every RoI's d_window with BATCHED dot_generals (full
+        # MXU utilization — the in-kernel matmuls are K=pool=7 slivers),
+        # leaving the kernel a pure DMA read-add-write pipeline. Costs one
+        # [B·R, wh, ww, C] HBM tensor (the backward twin of the windowed
+        # forward's window tensor).
+        first_arg = _precompute_dwin(
+            g.reshape(b * r, p, p, c), flat_rois, lvl, level_shapes,
+            orig_wls, _bwd_windows(level_shapes, max_span),
+            tuple(float(s) for s in strides), p, sampling_ratio, dtype,
+            wh, ww,
+        )
+        first_spec = pl.BlockSpec(
+            (1, wh, ww, c), lambda n, *prefetch: (n, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        first_arg = g.reshape(b * r, p, p, c)
+        first_spec = pl.BlockSpec(
+            (kbatch, p, p, c), lambda n, *prefetch: (n, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     zeros = [jnp.zeros(s, dtype) for s in padded_shapes]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # rois, lvl, bidx
         grid=(b * r // kbatch,),
         in_specs=[
-            pl.BlockSpec((kbatch, p, p, c), lambda n, *prefetch: (n, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            first_spec,
         ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)
@@ -595,11 +656,55 @@ def multilevel_roi_align_pallas_bwd(
         # accumulate in place into the zero-initialized buffers
         input_output_aliases={4 + i: i for i in range(num_levels)},
         interpret=interpret,
-    )(flat_rois.T, lvl, bidx, g.reshape(b * r, p, p, c), *zeros)
+    )(flat_rois.T, lvl, bidx, first_arg, *zeros)
     return tuple(
         o[:, :, :w0, :] if o.shape[2] != w0 else o
         for o, w0 in zip(outs, orig_wls)
     )
+
+
+def _precompute_dwin(g, flat_rois, lvl, level_shapes, orig_wls, wins,
+                     strides, pool, ratio, dtype, max_wh, max_ww):
+    """[N, max_wh, max_ww, C] per-RoI window gradients, batched in XLA.
+
+    d_win[r] = Wy_r^T @ g_r @ Wx_r with geometry IDENTICAL to the kernel's
+    window_geom (incl. the floor-to-8 x origin), so the kernel can add each
+    block to its DMA window verbatim. Rows/cols beyond a level's (win_h,
+    win_w) get zero interpolation weight by construction (routing bounds the
+    sampling span), so the shared max-extent buffer stays exact.
+    """
+    from detectron_tpu.ops.roi_align import _interp_weights
+
+    hs_i = jnp.asarray([s[0] for s in level_shapes], jnp.int32)[lvl]
+    ws_i = jnp.asarray([s[1] for s in level_shapes], jnp.int32)[lvl]
+    hl_f = jnp.asarray([float(s[0]) for s in level_shapes])[lvl]
+    wl_f = jnp.asarray([float(w) for w in orig_wls])[lvl]
+    win_h = jnp.asarray([w[0] for w in wins], jnp.int32)[lvl]
+    win_w = jnp.asarray([w[1] for w in wins], jnp.int32)[lvl]
+    scale = jnp.asarray([1.0 / s for s in strides], jnp.float32)[lvl]
+    fx1 = flat_rois[:, 0] * scale
+    fy1 = flat_rois[:, 1] * scale
+    fw = jnp.maximum(flat_rois[:, 2] * scale - fx1, 1.0)
+    fh = jnp.maximum(flat_rois[:, 3] * scale - fy1, 1.0)
+    y0 = jnp.clip(jnp.floor(fy1).astype(jnp.int32) - 1, 0, hs_i - win_h)
+    x0 = jnp.clip(jnp.floor(fx1).astype(jnp.int32) - 1, 0, ws_i - win_w)
+    x0 = (x0 // 8) * 8
+    wy = _interp_weights(fy1, fh, y0, max_wh, hl_f, pool, ratio)  # [N, P, wh]
+    wx = _interp_weights(fx1, fw, x0, max_ww, wl_f, pool, ratio)  # [N, P, ww]
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    gf = g.astype(jnp.float32)
+    # u[r, x, p, ch] = sum_q wx[r, q, x] g[r, p, q, ch]
+    u = jax.lax.dot_general(
+        wx, gf, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [N, ww, P, C]
+    # d_win[r, y, x, ch] = sum_p wy[r, p, y] u[r, x, p, ch]
+    d_win = jax.lax.dot_general(
+        wy, u, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [N, wh, ww, C]
+    return d_win.astype(dtype)
 
 
 # ---------------------------------------------------------------------------

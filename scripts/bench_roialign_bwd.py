@@ -67,7 +67,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--algos", default="sep,noT")
+    # xla = precompute d_win with batched XLA dot_generals; the kernel
+    # becomes a pure DMA read-add-write pipeline (VERDICT r2 item 8)
+    ap.add_argument("--algos", default="sep,noT,xla")
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
     print("platform:", jax.devices()[0].platform)

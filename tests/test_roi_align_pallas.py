@@ -82,10 +82,13 @@ def test_non_mult128_channels_fall_back_to_jnp():
 
 
 @pytest.mark.parametrize("pool", [7, 14])
-def test_pallas_backward_matches_jnp_vjp(pool):
+@pytest.mark.parametrize("matmul_order", ["sep", "xla"])
+def test_pallas_backward_matches_jnp_vjp(pool, matmul_order):
     """The Pallas backward kernel (window RMW scatter-add) is numerically
     identical to the jnp VJP, including overlapping RoI windows and the
-    W-padding slice (interpret mode; c=128 engages the kernel path)."""
+    W-padding slice (interpret mode; c=128 engages the kernel path).
+    matmul_order="xla" precomputes d_window outside the kernel with batched
+    dot_generals — same numbers, different schedule."""
     from detectron_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas_bwd
 
     feats, rois = make_inputs(b=2, c=128, base=120)  # W=120: pad path at P4
@@ -95,7 +98,7 @@ def test_pallas_backward_matches_jnp_vjp(pool):
     )
     got = multilevel_roi_align_pallas_bwd(
         g, feats, rois, strides=(4, 8, 16, 32), output_size=pool,
-        interpret=True,
+        interpret=True, matmul_order=matmul_order,
     )
     _, vjp = jax.vjp(
         lambda f: multilevel_roi_align(
