@@ -133,6 +133,12 @@ def base_config() -> ml_collections.ConfigDict:
     # 0 = unchunked; -1 = auto (unchunked under 6.5 GB, else ~4 GB chunks
     # — bs<=32 stays unchunked, bs=48 gets the measured 135 img/s plateau)
     cfg.roi.chunk = -1
+    # Pallas scatter-add backward schedule: "sep" = interpolation matmuls
+    # inside the kernel (default); "xla" = d_windows precomputed by batched
+    # XLA dot_generals, kernel is a pure DMA read-add-write pipeline
+    # (costs a [B*R, wh, ww, C] HBM tensor; A/B via
+    # scripts/bench_roialign_bwd.py / bench.py --mode train).
+    cfg.roi.bwd_order = "sep"
     cfg.roi.bbox_reg_weights = (10.0, 10.0, 5.0, 5.0)
     cfg.roi.smooth_l1_sigma = 1.0
     cfg.roi.class_agnostic_regression = False

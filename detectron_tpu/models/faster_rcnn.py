@@ -108,6 +108,10 @@ class TwoStageDetector(nn.Module):
     # the dims lets the gather shrink without changing x-routing (A/B'd on
     # hardware; see DESIGN.md §7).
     roi_window_w: int = 0
+    # Pallas scatter-add backward schedule: "sep" (in-kernel matmuls) or
+    # "xla" (d_windows precomputed by batched XLA matmuls, kernel = pure
+    # DMA read-add-write; trades an HBM tensor for MXU utilization).
+    roi_bwd_order: str = "sep"
     norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
     dtype: Any = jnp.float32
 
@@ -167,7 +171,7 @@ class TwoStageDetector(nn.Module):
             return roi_align_window_trainable(
                 tuple(levels[: len(ROI_STRIDES)]), rois, ROI_STRIDES, size,
                 self.sampling_ratio, self.roi_window, self.roi_chunk,
-                self.roi_window_w,
+                self.roi_window_w, self.roi_bwd_order,
             )
         return multilevel_roi_align(
             levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
@@ -208,6 +212,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         roi_window=cfg.roi.get("window", -1),
         roi_chunk=cfg.roi.get("chunk", -1),
         roi_window_w=cfg.roi.get("window_w", 0),
+        roi_bwd_order=cfg.roi.get("bwd_order", "sep"),
         norm=cfg.model.get("norm", "frozen_bn"),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )

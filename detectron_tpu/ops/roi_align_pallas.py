@@ -745,11 +745,11 @@ roi_align_fused.defvjp(_fwd, _bwd)
 @functools.partial(
     jax.custom_vjp,
     nondiff_argnames=("strides", "output_size", "sampling_ratio", "window",
-                      "chunk", "window_w"),
+                      "chunk", "window_w", "bwd_order"),
 )
 def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
                                output_size=7, sampling_ratio=2, window=32,
-                               chunk=0, window_w=0):
+                               chunk=0, window_w=0, bwd_order="sep"):
     """Windowed separable-matmul forward (ops/roi_align.py, the fastest
     inference path) + Pallas scatter-add backward. The windowed forward's
     AUTODIFF backward scatters whole [R, wh, ww, C] windows, which measured
@@ -767,14 +767,15 @@ def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
 
 
 def _wfwd(features, rois, strides, output_size, sampling_ratio, window,
-          chunk, window_w):
+          chunk, window_w, bwd_order):
     out = roi_align_window_trainable(features, rois, strides, output_size,
-                                     sampling_ratio, window, chunk, window_w)
+                                     sampling_ratio, window, chunk, window_w,
+                                     bwd_order)
     return out, (features, rois)
 
 
 def _wbwd(strides, output_size, sampling_ratio, window, chunk, window_w,
-          res, g):
+          bwd_order, res, g):
     features, rois = res
     # Pass the forward's routing window through so fwd/bwd assign RoIs to
     # IDENTICAL FPN levels for every value of the roi.window/window_w knobs
@@ -782,7 +783,7 @@ def _wbwd(strides, output_size, sampling_ratio, window, chunk, window_w,
     d_features = multilevel_roi_align_pallas_bwd(
         g, list(features), rois, strides=tuple(strides),
         output_size=output_size, sampling_ratio=sampling_ratio,
-        window=window, window_w=window_w,
+        window=window, window_w=window_w, matmul_order=bwd_order,
     )
     return tuple(d_features), jnp.zeros_like(rois)
 

@@ -113,6 +113,15 @@ def check_roialign():
                                    rtol=1e-3, atol=1e-3)
     print("roialign bwd [overlap hazard stress]: ok")
 
+    # the matmul-free schedule (d_win precomputed in XLA) must produce the
+    # same scatter-add, including under the overlap hazard stress
+    got3 = jax.jit(lambda gg, f, r: multilevel_roi_align_pallas_bwd(
+        gg, f, r, strides=strides, matmul_order="xla"))(g2, list(feats), ov)
+    for w, o in zip(want2, got3):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(w),
+                                   rtol=1e-3, atol=1e-3)
+    print("roialign bwd [matmul_order=xla == jnp VJP, hazard stress]: ok")
+
 
 def check_fused_predict():
     from detectron_tpu.config import get_config

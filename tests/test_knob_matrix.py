@@ -40,6 +40,7 @@ def _tiny_cfg(model="mask_rcnn", overrides=()):
     ("roi.align_impl=gather",),
     ("roi.align_impl=window",),
     ("roi.align_impl=window", "roi.window=24"),
+    ("roi.align_impl=window", "roi.bwd_order=xla"),
     ("roi.pool_type=pool",),
     ("model.stem=s2d",),
     ("model.norm=gn",),
