@@ -20,9 +20,52 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _wait_for_device(budget_s: float) -> None:
+    """Block until the TPU relay answers (or the budget runs out).
+
+    The axon relay goes down for hours at a time (observed r3); if bench.py
+    runs during an outage, the very first device contact raises
+    ``Unable to initialize backend 'axon': UNAVAILABLE`` and the round
+    records no benchmark at all. Probe in a SUBPROCESS (a failed in-process
+    backend init is cached by jax for the life of the process) every 60 s
+    until the relay answers. All probe chatter goes to stderr — stdout must
+    stay the single JSON line.
+    """
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        # DEVNULL + explicit kill: capture_output would block past the
+        # timeout draining pipes inherited by the plugin's helper processes.
+        proc = subprocess.Popen(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        try:
+            rc = proc.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            rc = -9
+        if rc == 0:
+            if attempt > 1:
+                print(f"bench: device up after {attempt} probes",
+                      file=sys.stderr)
+            return
+        if time.monotonic() >= deadline:
+            print("bench: device probe budget exhausted; proceeding anyway",
+                  file=sys.stderr)
+            return
+        print(f"bench: device unavailable (probe {attempt}); retrying in 60s",
+              file=sys.stderr)
+        time.sleep(60)
 
 # Per-model A100 orientation figures (BASELINE.md; "from memory,
 # unverified" — the reference mount is empty). Train orientation exists
@@ -56,7 +99,13 @@ def main():
     ap.add_argument("--set", dest="overrides", nargs="*", default=[],
                     help="dotted cfg overrides for A/Bs, e.g. "
                          "model.fused_nms=on roi.align_impl=gather")
+    ap.add_argument("--wait-device", type=float,
+                    default=float(os.environ.get("BENCH_WAIT_DEVICE_S", 2700)),
+                    help="seconds to wait for the TPU relay before giving up")
     args = ap.parse_args()
+
+    if args.wait_device > 0:
+        _wait_for_device(args.wait_device)
 
     import jax
 
