@@ -40,6 +40,14 @@ def base_config() -> ml_collections.ConfigDict:
     # weight shapes (torchvision import unchanged). Off = the lighter C4
     # trunk. Only consumed by model.name=rfcn.
     cfg.model.dilate_c5 = False
+    # rematerialize non-frozen backbone blocks in the backward pass
+    # (jax.checkpoint per bottleneck): cuts backbone activation HBM by
+    # ~1.5x block-width at the cost of recomputing each block's convs when
+    # grads flow — the knob for train batches past the HBM knee. Exact
+    # (same arithmetic, same params); eval/inference programs are
+    # unaffected (no cotangents). Off by default: at bs<=16 the step fits
+    # and remat only adds FLOPs.
+    cfg.model.remat = False
     # pretrained backbone init: path to a torchvision-style ResNet .pth
     # state dict (the reference always fine-tunes from these; reference:
     # load_pretrained in libs/nets/resnet.py). "" = random init.

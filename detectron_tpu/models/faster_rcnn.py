@@ -113,13 +113,16 @@ class TwoStageDetector(nn.Module):
     # DMA read-add-write; trades an HBM tensor for MXU utilization).
     roi_bwd_order: str = "sep"
     norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
+    # remat non-frozen backbone blocks in the backward (models/resnet.py):
+    # trades block recompute for activation HBM at large train batches
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.body = ResNet(
             depth=self.backbone, frozen_stages=self.frozen_stages,
-            norm=self.norm, stem=self.stem, dtype=self.dtype,
-            name="backbone",
+            norm=self.norm, stem=self.stem, remat=self.remat,
+            dtype=self.dtype, name="backbone",
         )
         self.neck = FPN(channels=self.channels, levels="p2p6",
                         dtype=self.dtype, name="fpn")
@@ -214,6 +217,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         roi_window_w=cfg.roi.get("window_w", 0),
         roi_bwd_order=cfg.roi.get("bwd_order", "sep"),
         norm=cfg.model.get("norm", "frozen_bn"),
+        remat=cfg.model.get("remat", False),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )
 

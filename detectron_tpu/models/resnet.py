@@ -168,6 +168,16 @@ class ResNet(nn.Module):
     # dilates its 3x3 convs by 2 — c5 comes out at c4's resolution. Weight
     # shapes are unchanged, so torchvision import works as-is.
     dilate_c5: bool = False
+    # rematerialize non-frozen bottleneck blocks in the backward pass
+    # (jax.checkpoint via nn.remat): stores only each block's input and
+    # recomputes the three in-block activations when grads flow, trading
+    # ~1.5x of the backbone's activation HBM for a second forward of the
+    # block convs — the lever for larger train batches. Param tree is
+    # unchanged (remat is transparent to params), so checkpoints and
+    # torchvision import are unaffected. Frozen stages are never wrapped:
+    # stop_gradient already prunes their backward, and remat's prevent_cse
+    # would block XLA from eliding the pointless recompute.
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -192,8 +202,13 @@ class ResNet(nn.Module):
                 # replace_stride_with_dilation leaves the first block at
                 # dilation 1; weights are identical either way)
                 stride, dilation = 1, 2
+            block_cls = (
+                nn.remat(Bottleneck)
+                if self.remat and stage + 1 > self.frozen_stages
+                else Bottleneck
+            )
             for i in range(num_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     features,
                     stride=stride if i == 0 else 1,
                     downsample=(i == 0),

@@ -89,14 +89,16 @@ class RetinaNet(nn.Module):
     num_anchors: int = 9  # must match the anchor generator's anchors/cell
     prior_prob: float = 0.01
     norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
+    # remat non-frozen backbone blocks in the backward (models/resnet.py)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images):
         feats = ResNet(
             depth=self.backbone, frozen_stages=self.frozen_stages,
-            norm=self.norm, stem=self.stem, dtype=self.dtype,
-            name="backbone",
+            norm=self.norm, stem=self.stem, remat=self.remat,
+            dtype=self.dtype, name="backbone",
         )(images)
         levels = FPN(
             channels=self.channels, levels="p3p7", dtype=self.dtype, name="fpn"

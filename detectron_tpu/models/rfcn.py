@@ -69,13 +69,15 @@ class RFCN(nn.Module):
     # True = the paper's a-trous res5 trunk (dilated c5 at stride 16);
     # False = the lighter c4 trunk (documented deviation, same stride)
     dilate_c5: bool = False
+    # remat non-frozen backbone blocks in the backward (models/resnet.py)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.body = ResNet(
             depth=self.backbone, frozen_stages=self.frozen_stages,
             norm=self.norm, stem=self.stem, dilate_c5=self.dilate_c5,
-            dtype=self.dtype, name="backbone",
+            remat=self.remat, dtype=self.dtype, name="backbone",
         )
         self.trunk = nn.Conv(self.channels, (3, 3), padding="SAME",
                              name="trunk", dtype=self.dtype)
@@ -139,6 +141,7 @@ def build_rfcn(cfg) -> RFCN:
         sampling_ratio=cfg.roi.sampling_ratio,
         norm=cfg.model.get("norm", "frozen_bn"),
         dilate_c5=cfg.model.get("dilate_c5", False),
+        remat=cfg.model.get("remat", False),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
     )
 

@@ -54,6 +54,7 @@ class Detector:
                 prior_prob=cfg.retinanet.prior_prob,
                 norm=cfg.model.get("norm", "frozen_bn"),
                 stem=cfg.model.get("stem", "conv"),
+                remat=cfg.model.get("remat", False),
                 dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,
             )
 

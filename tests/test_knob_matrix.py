@@ -43,6 +43,7 @@ def _tiny_cfg(model="mask_rcnn", overrides=()):
     ("roi.align_impl=window", "roi.bwd_order=xla"),
     ("roi.pool_type=pool",),
     ("model.stem=s2d",),
+    ("model.remat=True",),
     ("model.norm=gn",),
     ("model.nms_algo=fixpoint",),
     ("model.nms_algo=loop",),

@@ -43,6 +43,39 @@ def test_frozen_param_mask():
     assert resnet_param_is_frozen(("backbone", "layer3_1", "bn2", "weight"))
 
 
+def test_resnet_remat_same_params_outputs_grads():
+    """model.remat is a pure memory/FLOPs trade: the rematerialized
+    backbone must keep the identical param tree (checkpoints / torchvision
+    import unaffected), identical forward activations, and matching
+    gradients (same arithmetic, re-run in the backward)."""
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32)
+    base = ResNet(depth="resnet50")
+    rem = ResNet(depth="resnet50", remat=True)
+    params = base.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(
+        rem.init(jax.random.key(0), x)
+    ) == jax.tree_util.tree_structure(params)
+
+    def loss(model, p):
+        feats = model.apply(p, x)
+        return sum(jnp.sum(f * f) for f in feats.values())
+
+    (l0, g0) = jax.value_and_grad(lambda p: loss(base, p))(params)
+    (l1, g1) = jax.value_and_grad(lambda p: loss(rem, p))(params)
+    assert float(l0) == float(l1)  # same forward program
+    # grads match up to float reassociation (remat re-fuses the backward;
+    # measured worst max|diff|/max|grad| = 6e-7 on this seed)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=1e-4 * float(np.abs(np.asarray(b)).max() + 1e-30), rtol=1e-4,
+        ),
+        g0, g1,
+    )
+    # frozen stage 1 gets zero grads either way (stop_gradient)
+    assert float(jnp.abs(g1["params"]["layer1_0"]["conv2"]["kernel"]).max()) == 0
+
+
 def test_fpn_upsample_nearest():
     x = jnp.arange(4.0).reshape(1, 2, 2, 1)
     up = fpn_mod.upsample2x_nearest(x)
