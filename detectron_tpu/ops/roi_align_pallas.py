@@ -244,7 +244,7 @@ def multilevel_roi_align_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # rois, lvl, bidx
         grid=(b * r,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)],
         out_specs=pl.BlockSpec(
             (1, p, p, c), lambda n, *prefetch: (n, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -639,9 +639,9 @@ def multilevel_roi_align_pallas_bwd(
         grid=(b * r // kbatch,),
         in_specs=[
             first_spec,
-        ] + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, wh, ww, c), dtype),
