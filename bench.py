@@ -23,12 +23,72 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
 
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LAST_GOOD.json")
 
-def _wait_for_device(budget_s: float) -> None:
+# Exactly one JSON line may reach stdout (the driver parses it). The real
+# result and the fallback paths (watchdog deadline, probe exhaustion,
+# mid-run exception) race; first emitter wins.
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def _emit(payload: dict) -> bool:
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return False
+        _emitted = True
+    print(json.dumps(payload), flush=True)
+    return True
+
+
+def _emit_fallback(reason: str) -> None:
+    """Emit the last-good result marked stale, or an explicit error line.
+
+    VERDICT r3 weak #1: when the axon relay is down for hours, bench.py
+    must still print a parseable JSON line inside the driver's window —
+    rc=124 with no output loses the whole round's perf evidence.
+    """
+    payload = None
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            payload = json.load(f)
+    except (OSError, ValueError):
+        payload = None
+    if payload is None or "value" not in payload:
+        payload = {
+            "metric": "mask_rcnn R-50-FPN inference images/sec/chip "
+                      "(unavailable)",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": reason,
+        }
+    else:
+        payload["stale"] = True
+        payload["stale_reason"] = reason
+    if _emit(payload):
+        print(f"bench: fallback emitted ({reason})", file=sys.stderr)
+
+
+def _save_last_good(out: dict) -> None:
+    try:
+        rec = dict(out)
+        rec["recorded_unix"] = int(time.time())
+        with open(LAST_GOOD_PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # never let bookkeeping kill the bench
+        print(f"bench: could not save last-good: {e}", file=sys.stderr)
+
+
+def _wait_for_device(budget_s: float) -> bool:
     """Block until the TPU relay answers (or the budget runs out).
 
     The axon relay goes down for hours at a time (observed r3); if bench.py
@@ -45,9 +105,12 @@ def _wait_for_device(budget_s: float) -> None:
         attempt += 1
         # DEVNULL + explicit kill: capture_output would block past the
         # timeout draining pipes inherited by the plugin's helper processes.
+        # BENCH_PROBE_CMD lets tests simulate relay outages without a TPU.
+        probe = os.environ.get("BENCH_PROBE_CMD")
+        cmd = (probe.split() if probe
+               else [sys.executable, "-c", "import jax; jax.devices()"])
         proc = subprocess.Popen(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         try:
             rc = proc.wait(timeout=120)
@@ -58,14 +121,15 @@ def _wait_for_device(budget_s: float) -> None:
             if attempt > 1:
                 print(f"bench: device up after {attempt} probes",
                       file=sys.stderr)
-            return
+            return True
         if time.monotonic() >= deadline:
-            print("bench: device probe budget exhausted; proceeding anyway",
+            print("bench: device probe budget exhausted",
                   file=sys.stderr)
-            return
-        print(f"bench: device unavailable (probe {attempt}); retrying in 60s",
-              file=sys.stderr)
-        time.sleep(60)
+            return False
+        delay = min(60.0, max(deadline - time.monotonic(), 0.5))
+        print(f"bench: device unavailable (probe {attempt}); retrying in "
+              f"{delay:.0f}s", file=sys.stderr)
+        time.sleep(delay)
 
 # Per-model A100 orientation figures (BASELINE.md; "from memory,
 # unverified" — the reference mount is empty). Train orientation exists
@@ -99,13 +163,31 @@ def main():
     ap.add_argument("--set", dest="overrides", nargs="*", default=[],
                     help="dotted cfg overrides for A/Bs, e.g. "
                          "model.fused_nms=on roi.align_impl=gather")
+    # r3 burned the driver's whole window on a 45-min probe loop; keep the
+    # probe budget well inside the ~10-min fallback bar (VERDICT r4 item 1).
     ap.add_argument("--wait-device", type=float,
-                    default=float(os.environ.get("BENCH_WAIT_DEVICE_S", 2700)),
+                    default=float(os.environ.get("BENCH_WAIT_DEVICE_S", 480)),
                     help="seconds to wait for the TPU relay before giving up")
+    # Overall watchdog: if the run (compiles included) hasn't printed by
+    # this deadline, emit last-good-with-stale and hard-exit. Warm-cache
+    # runs finish in ~2 min; only a cold .jax_cache approaches this.
+    ap.add_argument("--deadline", type=float,
+                    default=float(os.environ.get("BENCH_DEADLINE_S", 2100)),
+                    help="hard wall-clock budget before emitting fallback")
     args = ap.parse_args()
 
-    if args.wait_device > 0:
-        _wait_for_device(args.wait_device)
+    if args.deadline > 0:
+        def _watchdog():
+            _emit_fallback(f"deadline {args.deadline:.0f}s exceeded")
+            sys.stdout.flush()
+            os._exit(0)
+        t = threading.Timer(args.deadline, _watchdog)
+        t.daemon = True
+        t.start()
+
+    if args.wait_device > 0 and not _wait_for_device(args.wait_device):
+        _emit_fallback("device unavailable (relay outage)")
+        return
 
     import jax
 
@@ -238,8 +320,18 @@ def main():
                 vs_baseline=out["train_vs_baseline"] or 0.0,
             )
 
-    print(json.dumps(out))
+    if not out.get("stale"):
+        _save_last_good(out)
+    _emit(out)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — a JSON line must always land
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit_fallback(f"bench error: {type(e).__name__}: {e}")
+        if isinstance(e, KeyboardInterrupt):
+            raise
