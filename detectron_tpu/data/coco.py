@@ -129,6 +129,16 @@ class CocoDataset:
         )
         boxes = np.zeros((len(anns), 4), np.float32)
         classes = np.zeros((len(anns),), np.int32)
+        # annotation (segmentation) areas: the COCO ``ann["area"]`` field
+        # that pycocotools buckets gts by in BOTH bbox and segm eval
+        areas = np.asarray(
+            [a.get("area", a["bbox"][2] * a["bbox"][3]) for a in anns],
+            np.float64,
+        )
+        crowd_areas = np.asarray(
+            [a.get("area", a["bbox"][2] * a["bbox"][3]) for a in crowd],
+            np.float64,
+        )
         masks = None
         if self.with_masks:
             masks = np.zeros((len(anns), self.mask_size, self.mask_size), np.float32)
@@ -144,6 +154,8 @@ class CocoDataset:
             "image": self.load_image(info),
             "boxes": boxes,
             "classes": classes,
+            "areas": areas,
+            "crowd_areas": crowd_areas,
             "masks": masks,
             "polygons": [a.get("segmentation") for a in anns],
             # crowd regions: excluded from training, absorb detections in eval

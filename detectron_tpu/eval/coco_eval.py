@@ -8,10 +8,16 @@ implemented here in NumPy:
   * IoU thresholds .50:.05:.95, 101-point interpolated AP,
   * greedy score-ordered matching, highest-IoU unmatched gt first,
   * crowd/ignore gts may absorb detections without counting as TP/FP,
-  * area ranges (all/small/medium/large), maxDets caps,
-  * bbox IoU or mask IoU (binary masks) per ``iou_type``.
+  * area ranges (all/small/medium/large), maxDets sweep (AR@1/10/100),
+  * bbox IoU or mask IoU (binary masks) per ``iou_type``,
+  * gts bucket into area ranges by their ANNOTATION area (the COCO
+    ``ann["area"]`` segmentation area — used for BOTH bbox and segm eval,
+    exactly as pycocotools does via ``g["area"]``); detections bucket by
+    box area for bbox eval and mask area for segm eval (pycocotools
+    ``loadRes`` sets ``d["area"]`` that way).
 
-Verified against hand-computed PR curves in tests/test_eval.py.
+Verified against hand-computed PR curves and published-rule adversarial
+fixtures in tests/test_eval.py.
 """
 
 from __future__ import annotations
@@ -122,15 +128,32 @@ def _match_image(det_scores, ious, gt_ignore, iou_thresholds, max_dets):
     return matched, ignored, order, n_valid
 
 
-def _accumulate(per_image, iou_thresholds):
+def _mask_area(m) -> float:
+    """Pixel area of a mask: RLE objects via the C++ codec, dense via sum."""
+    return float(m.area() if hasattr(m, "area") else np.asarray(m).sum())
+
+
+def _accumulate(per_image, iou_thresholds, max_det=None):
     """per_image: list of (scores_sorted, matched [T,D], ignored [T,D], n_gt).
-    Returns AP [T] and AR [T]."""
+    Returns AP [T] and AR [T].
+
+    ``max_det`` truncates each image's (already score-sorted) detections to
+    its first ``max_det`` rows — exactly pycocotools' accumulate(), which
+    evaluates once at the largest maxDets and slices ``[:, 0:maxDet]`` per
+    sweep entry (greedy matching of a score-ordered prefix is
+    prefix-stable, so the truncation IS the smaller-maxDets evaluation).
+    """
+    if max_det is not None:
+        per_image = [(s[:max_det], m[:, :max_det], ig[:, :max_det], n)
+                     for s, m, ig, n in per_image]
     total_gt = sum(p[3] for p in per_image)
     t = len(iou_thresholds)
     if total_gt == 0:
         return np.full(t, np.nan), np.full(t, np.nan)
     scores = np.concatenate([p[0] for p in per_image]) if per_image else np.zeros(0)
-    order = np.argsort(-scores)
+    # mergesort = pycocotools' stable cross-image tiebreak (earlier image
+    # first on equal scores); default quicksort can flip tied rows
+    order = np.argsort(-scores, kind="mergesort")
     ap = np.zeros(t)
     ar = np.zeros(t)
     for ti in range(t):
@@ -160,20 +183,33 @@ def evaluate(
     detections: list,
     num_classes: int,
     iou_type: str = "bbox",
-    max_dets: int = 100,
+    max_dets: int | tuple = (1, 10, 100),
     area_ranges: dict | None = None,
 ) -> dict:
     """Full COCO-protocol evaluation.
 
     groundtruths: per image {boxes [G,4], classes [G], ignore [G] bool,
-      (masks: list of bool [H,W])}.
+      (areas [G]: the annotation areas — COCO's ``ann["area"]`` mask area;
+      falls back to mask area, then box area),
+      (masks: list of bool [H,W] or native RLE)}.
     detections: per image {boxes [D,4], scores [D], classes [D],
-      (masks: list of bool [H,W])}.
+      (masks: list of bool [H,W] or native RLE)}.
     Classes are 1-based contiguous.
 
-    Returns {"AP", "AP50", "AP75", "APs", "APm", "APl", "AR", "per_class"}.
+    ``max_dets`` is the pycocotools maxDets sweep: matching runs once at the
+    largest entry; AP/APs/APm/APl/ARs/ARm/ARl are reported at the largest,
+    plus one ``AR{k}`` per entry (``AR`` aliases the largest, so the default
+    yields the standard AP, AP50, AP75, APs/m/l, AR1/10/100, ARs/m/l).
+
+    Area bucketing follows pycocotools exactly: gts by annotation area in
+    BOTH bbox and segm eval; detections by box area (bbox) / mask area
+    (segm) for the unmatched-out-of-range ignore rule.
     """
     area_ranges = area_ranges or AREA_RANGES
+    if isinstance(max_dets, int):
+        max_dets = (max_dets,)
+    max_dets = sorted(int(k) for k in max_dets)
+    md_max = max_dets[-1]
     results = {}
     per_class_ap = {}
 
@@ -183,11 +219,27 @@ def evaluate(
         ok = ~np.isnan(x)
         return float(x[ok].mean()) if ok.any() else float("nan")
 
+    def _gt_eval_areas(gt, g_sel, g_boxes):
+        """Annotation area per selected gt — pycocotools buckets gts by
+        ``g["area"]`` (the segmentation area from the JSON) in bbox AND
+        segm eval alike. Priority: explicit ``areas`` > mask area > box
+        area (box-only datasets like VOC have no annotation area)."""
+        areas = gt.get("areas")
+        if areas is not None:
+            return np.asarray(areas, np.float64)[g_sel]
+        masks = gt.get("masks")
+        if masks is not None and len(masks):
+            return np.asarray([_mask_area(masks[i]) for i in g_sel],
+                              np.float64)
+        return ((g_boxes[:, 2] - g_boxes[:, 0])
+                * (g_boxes[:, 3] - g_boxes[:, 1])).astype(np.float64)
+
     # IoU matrices depend only on (image, class) — computed ONCE and reused
     # across all area ranges (pycocotools structure; 4x fewer IoU/mask-IoU
-    # evaluations than the naive range-outermost loop).
+    # evaluations than the naive range-outermost loop). Matching runs once
+    # at the largest maxDets; the sweep truncates in _accumulate.
     ap_per_class = {rn: [] for rn in area_ranges}
-    ar_per_class = {rn: [] for rn in area_ranges}
+    ar_per_class = {rn: {k: [] for k in max_dets} for rn in area_ranges}
     for cls in range(1, num_classes):
         per_image = {rn: [] for rn in area_ranges}
         for gt, det in zip(groundtruths, detections):
@@ -196,9 +248,7 @@ def evaluate(
             if len(g_sel) == 0 and len(d_sel) == 0:
                 continue
             g_boxes = gt["boxes"][g_sel]
-            areas = (g_boxes[:, 2] - g_boxes[:, 0]) * (
-                g_boxes[:, 3] - g_boxes[:, 1]
-            )
+            areas = _gt_eval_areas(gt, g_sel, g_boxes)
             base_ignore = gt.get("ignore")
             base_ignore = (
                 base_ignore[g_sel] if base_ignore is not None
@@ -207,23 +257,27 @@ def evaluate(
             d_boxes = det["boxes"][d_sel]
             d_scores = det["scores"][d_sel]
             if iou_type == "segm":
+                d_masks = [det["masks"][i] for i in d_sel]
                 ious = mask_iou_matrix(
-                    [det["masks"][i] for i in d_sel],
+                    d_masks,
                     [gt["masks"][i] for i in g_sel],
                     crowd=base_ignore,
                 )
+                # segm dets bucket by MASK area (pycocotools loadRes)
+                d_eval_areas = np.asarray(
+                    [_mask_area(m) for m in d_masks], np.float64)
             else:
                 ious = box_iou_matrix(d_boxes, g_boxes, crowd=base_ignore)
-            d_all_areas = (d_boxes[:, 2] - d_boxes[:, 0]) * (
-                d_boxes[:, 3] - d_boxes[:, 1]
-            )
+                d_eval_areas = (d_boxes[:, 2] - d_boxes[:, 0]) * (
+                    d_boxes[:, 3] - d_boxes[:, 1]
+                )
             for range_name, (lo, hi) in area_ranges.items():
                 ignore = base_ignore | (areas < lo) | (areas > hi)
                 matched, ignored, order, n_gt = _match_image(
-                    d_scores, ious, ignore, IOU_THRESHOLDS, max_dets
+                    d_scores, ious, ignore, IOU_THRESHOLDS, md_max
                 )
                 # out-of-range unmatched detections are ignored (COCO rule)
-                oob = (d_all_areas[order] < lo) | (d_all_areas[order] > hi)
+                oob = (d_eval_areas[order] < lo) | (d_eval_areas[order] > hi)
                 ignored = ignored | (~matched & oob[None, :])
                 per_image[range_name].append(
                     (d_scores[order], matched, ignored, n_gt)
@@ -232,13 +286,18 @@ def evaluate(
             ap, ar = _accumulate(per_image[range_name], IOU_THRESHOLDS)
             if not np.isnan(ap).all():
                 ap_per_class[range_name].append(ap)
-                ar_per_class[range_name].append(ar)
+                ar_per_class[range_name][md_max].append(ar)
+                for k in max_dets[:-1]:
+                    if range_name == "all":  # AR@k sweep is area=all only
+                        _, ar_k = _accumulate(
+                            per_image[range_name], IOU_THRESHOLDS, max_det=k)
+                        ar_per_class[range_name][k].append(ar_k)
                 if range_name == "all":
                     per_class_ap[cls] = float(_nanmean(ap))
     for range_name in area_ranges:
         if ap_per_class[range_name]:
             aps = np.stack(ap_per_class[range_name])
-            ars = np.stack(ar_per_class[range_name])
+            ars = np.stack(ar_per_class[range_name][md_max])
         else:
             aps = np.full((1, len(IOU_THRESHOLDS)), np.nan)
             ars = aps
@@ -247,8 +306,14 @@ def evaluate(
             results["AP50"] = float(_nanmean(aps[:, 0]))
             results["AP75"] = float(_nanmean(aps[:, 5]))
             results["AR"] = float(_nanmean(ars))
+            results[f"AR{md_max}"] = results["AR"]
+            for k in max_dets[:-1]:
+                rows = ar_per_class[range_name][k]
+                results[f"AR{k}"] = float(
+                    _nanmean(np.stack(rows))) if rows else float("nan")
             results["per_class"] = per_class_ap
         else:
             key = {"small": "APs", "medium": "APm", "large": "APl"}[range_name]
             results[key] = float(_nanmean(aps))
+            results["AR" + key[2:]] = float(_nanmean(ars))
     return results

@@ -158,6 +158,11 @@ def main():
                 g_boxes = ex.get("all_boxes", ex["boxes"])
                 g_classes = ex.get("all_classes", ex["classes"])
             g_ignore = np.zeros(len(g_boxes), bool)
+            # annotation (segmentation) areas for pycocotools-exact area
+            # bucketing; None for datasets without them (VOC -> box area)
+            g_areas = ex.get("areas")
+            if g_areas is not None and len(g_areas) != len(g_boxes):
+                g_areas = None  # all_boxes superset without aligned areas
             crowd_boxes = ex.get("crowd_boxes")
             if crowd_boxes is not None and len(crowd_boxes):
                 # crowd regions absorb detections without counting (COCO rule)
@@ -166,10 +171,13 @@ def main():
                 g_ignore = np.concatenate(
                     [g_ignore, np.ones(len(crowd_boxes), bool)]
                 )
+                if g_areas is not None:
+                    g_areas = np.concatenate([g_areas, ex["crowd_areas"]])
             g = {
                 "boxes": g_boxes,
                 "classes": g_classes,
                 "ignore": g_ignore,
+                "areas": g_areas,
                 "difficult": ex.get("all_difficult", ex.get("difficult")),
                 "ignore_boxes": ex.get("ignore_boxes"),
             }
