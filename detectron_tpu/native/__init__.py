@@ -57,6 +57,10 @@ def _load():
     lib.rle_merge.restype = ctypes.c_int64
     lib.rle_merge.argtypes = [u32p, ctypes.c_int64, u32p, ctypes.c_int64,
                               ctypes.c_int, u32p]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.rle_paste.restype = ctypes.c_int64
+    lib.rle_paste.argtypes = [f32p, ctypes.c_int64, f32p, ctypes.c_int64,
+                              ctypes.c_int64, ctypes.c_double, u32p]
     lib.rle_to_string.restype = ctypes.c_int64
     lib.rle_to_string.argtypes = [u32p, ctypes.c_int64, ctypes.c_char_p]
     lib.rle_from_string.restype = ctypes.c_int64

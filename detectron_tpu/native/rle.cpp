@@ -15,6 +15,8 @@
 //   rle_merge       : union/intersection of two RLEs
 //   rle_to_string / rle_from_string : the COCO 6-bit char compression
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -140,6 +142,101 @@ int64_t rle_merge(const uint32_t* ca, int64_t ma, const uint32_t* cb,
   }
   counts_out[m++] = run;
   return m;
+}
+
+// Fused mask paste + RLE encode (the reference eval path's classic
+// bottleneck — SURVEY.md §3.2: per-detection full-image mask pasting).
+// Bilinear-resizes an msize x msize float32 mask probability grid into its
+// box rectangle on an H x W canvas and emits the COLUMN-MAJOR full-image
+// RLE directly, column by column — the canvas is never materialized, so
+// the work is O(box area), not O(image area).
+//
+// The coordinate / clipping / interpolation math replicates
+// detectron_tpu.models.mask_rcnn.paste_masks_numpy bit-for-bit for
+// float32 boxes (spans subtracted in float32, everything after in double,
+// same op order), verified by tests/test_mask_paste_rle.py.
+// counts_out must hold >= h*w+1 entries. Returns the number of runs.
+int64_t rle_paste(const float* mask, int64_t msize, const float* box,
+                  int64_t h, int64_t w, double threshold,
+                  uint32_t* counts_out) {
+  struct Emitter {
+    uint32_t* out;
+    int64_t m = 0;
+    uint8_t prev = 0;  // runs start with zeros
+    uint64_t run = 0;
+    void add(uint8_t v, uint64_t n) {
+      if (n == 0) return;
+      if (v != prev) {
+        out[m++] = (uint32_t)run;
+        run = 0;
+        prev = v;
+      }
+      run += n;
+    }
+    int64_t finish() {
+      out[m++] = (uint32_t)run;
+      return m;
+    }
+  } e{counts_out};
+
+  float x1 = box[0], y1 = box[1], x2 = box[2], y2 = box[3];
+  int64_t x1i = (int64_t)floorf(x1), y1i = (int64_t)floorf(y1);
+  int64_t x2i = (int64_t)ceilf(x2), y2i = (int64_t)ceilf(y2);
+  // same clamp ORDER as the numpy path: far edge first (vs the unclamped
+  // near edge), then the near edge
+  x2i = std::min(std::max(x2i, x1i + 1), w);
+  y2i = std::min(std::max(y2i, y1i + 1), h);
+  x1i = std::min(std::max(x1i, (int64_t)0), w - 1);
+  y1i = std::min(std::max(y1i, (int64_t)0), h - 1);
+  int64_t bw = x2i - x1i, bh = y2i - y1i;
+  if (bw <= 0 || bh <= 0) {
+    e.add(0, (uint64_t)h * (uint64_t)w);
+    return e.finish();
+  }
+
+  // spans in FLOAT32 (numpy: x2 - x1 on float32 scalars), then double
+  float spanx_f = x2 - x1, spany_f = y2 - y1;
+  double spanx = (double)spanx_f, spany = (double)spany_f;
+  double denx = spanx_f > 1e-4f ? spanx : 1e-4;  // max(x2-x1, 1e-4)
+  double deny = spany_f > 1e-4f ? spany : 1e-4;
+
+  std::vector<int64_t> v0(bh), v1(bh);
+  std::vector<double> fv(bh);
+  for (int64_t i = 0; i < bh; ++i) {
+    double ys = ((double)i + 0.5) * spany / (double)bh + (double)y1;
+    double v = (ys - (double)y1) / deny * (double)msize - 0.5;
+    int64_t iv = (int64_t)floor(v);
+    int64_t c0 = std::min(std::max(iv, (int64_t)0), msize - 1);
+    v0[i] = c0;
+    v1[i] = std::min(c0 + 1, msize - 1);
+    double f = v - (double)c0;
+    fv[i] = f < 0.0 ? 0.0 : (f > 1.0 ? 1.0 : f);
+  }
+
+  e.add(0, (uint64_t)x1i * (uint64_t)h);  // whole columns left of the box
+  uint64_t bottom = (uint64_t)(h - y1i - bh);
+  for (int64_t j = 0; j < bw; ++j) {
+    double xs = ((double)j + 0.5) * spanx / (double)bw + (double)x1;
+    double u = (xs - (double)x1) / denx * (double)msize - 0.5;
+    int64_t iu = (int64_t)floor(u);
+    int64_t u0 = std::min(std::max(iu, (int64_t)0), msize - 1);
+    int64_t u1 = std::min(u0 + 1, msize - 1);
+    double f = u - (double)u0;
+    double fu = f < 0.0 ? 0.0 : (f > 1.0 ? 1.0 : f);
+    double gu = 1.0 - fu;
+    e.add(0, (uint64_t)y1i);  // zeros above the box in this column
+    for (int64_t i = 0; i < bh; ++i) {
+      double top = (double)mask[v0[i] * msize + u0] * gu +
+                   (double)mask[v0[i] * msize + u1] * fu;
+      double bot = (double)mask[v1[i] * msize + u0] * gu +
+                   (double)mask[v1[i] * msize + u1] * fu;
+      double val = top * (1.0 - fv[i]) + bot * fv[i];
+      e.add(val >= threshold ? 1 : 0, 1);
+    }
+    e.add(0, bottom);  // zeros below the box in this column
+  }
+  e.add(0, (uint64_t)(w - x2i) * (uint64_t)h);  // columns right of the box
+  return e.finish();
 }
 
 // COCO compressed string form: delta + zigzag + 6-bit chunks offset by 48.
