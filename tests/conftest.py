@@ -8,7 +8,20 @@ jax.config before the backend initializes. Running tests against the remote
 chip would be ~100x slower (per-dispatch network roundtrips).
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compile cache for the CPU test backend: the fast gate is
+# dominated by jit compiles of the model-forward/train programs, which are
+# identical run-to-run on this box. Keyed by HLO hash (safe across edits —
+# a changed program misses). Separate directory from the TPU cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from detectron_tpu.config import get_config
 from detectron_tpu.data.synthetic import make_batch
@@ -94,3 +95,40 @@ def test_dp_predict_step():
     dets, _ = predict(params, batch)
     assert dets.boxes.shape == (8, cfg.test.detections_per_image, 4)
     assert bool(jnp.all(jnp.isfinite(dets.boxes)))
+
+
+@pytest.mark.slow
+def test_mask_rcnn_dp_matches_single_device_at_512():
+    """VERDICT r3 item 5: the flagship model's windowed-align custom-vjp
+    path under a sharded mesh, at a realistic-ish shape — a 2-device DP
+    step must match the single-device step on the concatenated batch.
+    (The 128² RetinaNet test above can't see the mask/RoI gather+scatter
+    semantics; this one runs the full Mask R-CNN train step at 512².)"""
+    cfg = get_config()
+    cfg.model.name = "mask_rcnn"
+    cfg.model.num_classes = 6
+    cfg.model.frozen_stages = 0  # grads must flow everywhere we compare
+    cfg.data.image_size = (512, 512)
+    det = build_detector(cfg)
+    params = det.init(jax.random.key(0), (512, 512))
+    state, tx, _ = train_state.create_train_state(cfg, params)
+    np_batch = make_batch(np.random.RandomState(3), 2, (512, 512), 6)
+    batch = jax.tree.map(jnp.asarray, np_batch)
+    key = jax.random.key(7)
+
+    @jax.jit
+    def step1(st, b, k):
+        k = jax.random.fold_in(k, st.step)  # mirror make_train_step's fold
+        (t, _), g = jax.value_and_grad(
+            lambda p: det.loss_fn(p, b, k), has_aux=True)(st.params)
+        return train_state.apply_gradients(st, g, tx), t
+
+    s1, t1 = step1(state, batch, key)
+
+    mesh = make_mesh(2)
+    stepn = make_train_step(det, tx, mesh, donate=False)
+    sn, metrics = stepn(state, shard_batch(batch, mesh), key)
+
+    assert abs(float(t1) - float(metrics["loss_total"])) < 1e-4
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sn.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
