@@ -214,7 +214,21 @@ def main():
     ap.add_argument("--ap-tol", type=float, default=0.005)
     ap.add_argument("--skip-activations", action="store_true")
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--platform", default="",
+                    help="pin jax platform (e.g. cpu). The container's "
+                         "sitecustomize ignores JAX_PLATFORMS, so tests "
+                         "must pin through jax.config before device use")
     args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache (same layout as bench.py / tests/conftest.py:
+    # the CPU backend gets its own directory)
+    cache = ".jax_cache_cpu" if args.platform == "cpu" else ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from detectron_tpu.config import get_config
     from detectron_tpu.utils.torch_weights import load_pth

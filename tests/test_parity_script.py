@@ -52,7 +52,7 @@ def test_parity_one_command(synthetic_weights, tmp_path):
     root = make_fixture(str(tmp_path / "coco"))
     out_dir = str(tmp_path / "out")
     proc = subprocess.run(
-        [sys.executable, PARITY,
+        [sys.executable, PARITY, "--platform", "cpu",
          "--weights", synthetic_weights,
          "--data-root", root, "--split", "val",
          "--out-dir", out_dir,
@@ -81,19 +81,54 @@ def test_parity_one_command(synthetic_weights, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "eval_results.json"))
 
 
-def test_parity_fails_on_corrupted_weights(synthetic_weights, tmp_path):
-    """A corrupted backbone must trip the activation bar (non-zero exit):
-    the harness actually detects divergence, not just runs."""
+def test_parity_detects_converter_divergence(synthetic_weights, monkeypatch):
+    """The activation diff guards the CONVERTER: the same state dict runs
+    through the torch executor and through load_resnet_backbone→Flax, so a
+    conversion bug (wrong key map, wrong transpose...) shows as divergence.
+    Emulate one in-process: perturb a single conv kernel AFTER conversion
+    and assert the bar trips at that stage and downstream."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import parity as parity_mod
+    from detectron_tpu.config import get_config
+    from detectron_tpu.utils import torch_weights
+
     sd = dict(np.load(synthetic_weights))
-    sd["layer3.0.conv2.weight"] = (
-        sd["layer3.0.conv2.weight"] + 0.05)  # small but visible corruption
+    cfg = get_config(None, ["model.frozen_stages=0"])
+
+    clean = parity_mod.activation_diff(sd, cfg, size=64)
+    assert all(r["rel_max_diff"] < 2e-3 for r in clean.values())
+
+    orig = torch_weights.load_resnet_backbone
+
+    def corrupting(variables, bb_sd):
+        out = orig(variables, bb_sd)
+        # nudge one res4 conv kernel (a converter mis-map of a single
+        # tensor is exactly this shape of bug)
+        conv = out["params"]["backbone"]["layer3_0"]["conv2"]
+        conv["kernel"] = conv["kernel"] + 0.05
+        return out
+
+    monkeypatch.setattr(torch_weights, "load_resnet_backbone", corrupting)
+    bad = parity_mod.activation_diff(sd, cfg, size=64)
+    assert bad["c2"]["rel_max_diff"] < 2e-3  # upstream of the corruption
+    assert bad["c4"]["rel_max_diff"] > 2e-3  # at it
+    assert bad["c5"]["rel_max_diff"] > 2e-3  # and downstream
+
+
+def test_parity_rejects_malformed_checkpoint(synthetic_weights, tmp_path):
+    """A checkpoint whose key layout doesn't match the torch reference
+    (e.g. a missing tensor — the classic file-format surprise) must exit
+    non-zero with an explanatory summary, not silently pass."""
+    sd = dict(np.load(synthetic_weights))
+    del sd["layer3.0.conv2.weight"]
     bad = str(tmp_path / "bad.npz")
     np.savez(bad, **sd)
     proc = subprocess.run(
-        [sys.executable, PARITY, "--weights", bad, "--skip-eval"],
+        [sys.executable, PARITY, "--platform", "cpu",
+         "--weights", bad, "--skip-eval"],
         capture_output=True, text=True, timeout=900, cwd=REPO,
     )
     assert proc.returncode == 1, proc.stdout[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["ok"] is False
-    assert summary["activations"]["c4"]["rel_max_diff"] > 2e-3
+    assert "skipped" in summary["activations"]
