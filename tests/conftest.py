@@ -25,3 +25,11 @@ jax.config.update(
                  ".jax_cache_cpu"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# NOTE (measured r4): expectations for this cache should be low. It only
+# skips the XLA *backend* compile — Python tracing + MLIR lowering (the
+# bulk of jit wall time for mid-size programs on this 1-core box) runs
+# every time — and the CPU AOT entries are often rejected at load time
+# with a machine-feature mismatch (XLA adds pseudo-features like
+# +prefer-no-scatter at compile). Lowering the threshold to 1.0s was
+# measured SLOWER (more write attempts + failed loads). Fast-gate wall
+# time is trace/execute-bound: ~16-18 min warm vs ~20+ cold.

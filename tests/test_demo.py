@@ -10,6 +10,8 @@ def test_demo_writes_visualizations(tmp_path):
     out = tmp_path / "vis"
     code = (
         "import sys, jax; jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_compilation_cache_dir','.jax_cache_cpu');"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',5.0);"
         f"sys.argv=['demo.py','--no-restore','--out',{str(out)!r},"
         "'--score-threshold','0.0','--cfg','model.name=retinanet',"
         "'model.num_classes=4','model.fpn_channels=32',"

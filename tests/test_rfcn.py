@@ -43,12 +43,14 @@ def test_rfcn_builds_and_votes_position_sensitively():
         make_batch(np.random.RandomState(0), 2, (128, 128),
                    cfg.model.num_classes, max_gt=8),
     )
-    (total, loss_dict) = det.loss_fn(params, batch, jax.random.key(1))
+    # one value_and_grad program covers both the loss and grad assertions
+    # (a separate loss_fn call would compile a near-identical program twice)
+    (total, loss_dict), g = jax.value_and_grad(
+        lambda p: det.loss_fn(p, batch, jax.random.key(1)), has_aux=True
+    )(params)
     assert np.isfinite(float(total)), loss_dict
     assert set(loss_dict) == {"loss_rpn_cls", "loss_rpn_box", "loss_cls",
                               "loss_box"}
-
-    g = jax.grad(lambda p: det.loss_fn(p, batch, jax.random.key(1))[0])(params)
     flat = jax.tree.leaves(g)
     gn = sum(float(jnp.sum(jnp.abs(x))) for x in flat)
     assert np.isfinite(gn) and gn > 0.0
