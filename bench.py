@@ -320,7 +320,20 @@ def main():
                 vs_baseline=out["train_vs_baseline"] or 0.0,
             )
 
-    if not out.get("stale"):
+    # Only a full headline-config run may refresh the last-good record:
+    # an A/B probe at a non-default batch (e.g. --mode infer --batch 64)
+    # must never replace the stronger default-config fallback the driver
+    # would quote during an outage.
+    is_headline = (
+        args.mode == "both"
+        and not args.overrides
+        and args.model == ap.get_default("model")
+        and args.batch == ap.get_default("batch")
+        and args.train_batch == ap.get_default("train_batch")
+        and str(args.size) == str(ap.get_default("size"))
+        and args.dtype == ap.get_default("dtype")
+    )
+    if is_headline and not out.get("stale"):
         _save_last_good(out)
     _emit(out)
 

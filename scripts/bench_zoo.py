@@ -55,7 +55,13 @@ def main():
             cmd += ["--set"] + extra
         label = f"{model} {' '.join(extra)} bs={batch}/{tbatch}".strip()
         print(f"== {label}", file=sys.stderr)
-        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        # No watchdog for sweep children: a cold compile past the default
+        # deadline would emit the (mask_rcnn headline) last-good record,
+        # which must not be mistaken for this model's number.
+        env = dict(os.environ)
+        env.setdefault("BENCH_DEADLINE_S", "0")
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                              env=env)
         line = next((ln for ln in reversed(proc.stdout.splitlines())
                      if ln.strip().startswith("{")), None)
         if proc.returncode != 0 or line is None:
@@ -63,6 +69,11 @@ def main():
             rows.append({"label": label, "error": proc.returncode})
             continue
         out = json.loads(line)
+        if out.get("stale") or "error" in out:
+            print(proc.stderr[-1500:], file=sys.stderr)
+            rows.append({"label": label, "error":
+                         out.get("stale_reason", out.get("error", "?"))})
+            continue
         out["label"] = label
         rows.append(out)
         print(f"   {line}", file=sys.stderr)
