@@ -3,15 +3,24 @@
 SURVEY.md §2.1 flags PSRoIPooling as a possible extra native op in the
 reference's lineage (sibling repos of the same author ship it); provided
 here for full capability coverage. Input features carry ``P*P`` channel
-groups; output bin (i, j) average-pools *its own* group's channels over the
-bin's spatial extent — implemented as a static unrolled loop over the P*P
-bins, each a small bilinear-sampled gather (same machinery as RoIAlign).
+groups; output bin (i, j) average-pools *its own* group's channels over
+the bin's spatial extent.
+
+Implementation: the per-bin channel routing folds into the gather index —
+features reshape to a ``[H*W*P*P, K]`` table and every sample point at
+grid position (a, b) reads row ``pixel * P*P + (a//S)*P + (b//S)``, so the
+whole op is 4 flat-table corner gathers over all ``P*S × P*S`` points at
+once (the RoIAlign flat-gather pattern). The earlier formulation — a
+static Python loop emitting 4 gathers per bin, 196 total — serialized on
+device (rfcn 256² bench: 2.6 img/s) and its 1024² program crashed this
+container's TPU compile worker.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from detectron_tpu.ops.roi_align import _bilinear_1d, _sample_coords
 
@@ -28,9 +37,17 @@ def ps_roi_pool(
     p, s = output_size, sampling_ratio
     assert cin % (p * p) == 0, "channels must be divisible by P*P"
     k = cin // (p * p)
-    flat = feature.reshape(b, h * w, cin)
+    # [H*W*P*P, K] table: row pixel*P*P + group
+    table = feature.reshape(b, h * w * p * p, k)
+    # static per-grid-position group offset: point (a, b) of the P*S x P*S
+    # sample grid belongs to bin (a//S, b//S) and reads channel group
+    # (a//S)*P + (b//S)
+    grid_group = (
+        (np.arange(p * s)[:, None] // s) * p + np.arange(p * s)[None, :] // s
+    )
+    grid_group = jnp.asarray(grid_group, jnp.int32)  # [PS, PS]
 
-    def per_image(feat_flat, rois_i):
+    def per_image(tbl, rois_i):
         scale = 1.0 / stride
         x1 = rois_i[:, 0] * scale
         y1 = rois_i[:, 1] * scale
@@ -41,30 +58,22 @@ def ps_roi_pool(
         x0, x1i, wx0, wx1, xin = _bilinear_1d(xs, w)
         y0, y1i, wy0, wy1, yin = _bilinear_1d(ys, h)
 
-        outs = []
-        for bi in range(p):
-            for bj in range(p):
-                c0 = (bi * p + bj) * k
-                ysl = slice(bi * s, (bi + 1) * s)
-                xsl = slice(bj * s, (bj + 1) * s)
+        def corner(yi, xi, wy, wx):
+            pix = yi[:, :, None] * w + xi[:, None, :]  # [R, PS, PS]
+            row = pix * (p * p) + grid_group[None]
+            vals = tbl[row.reshape(-1)].reshape(row.shape + (k,))
+            return vals * (wy[:, :, None] * wx[:, None, :])[..., None]
 
-                def corner(yi, xi, wy, wx):
-                    idx = yi[:, ysl, None] * w + xi[:, None, xsl]  # [R,S,S]
-                    vals = feat_flat[idx.reshape(-1), c0 : c0 + k].reshape(
-                        idx.shape + (k,)
-                    )
-                    return vals * (wy[:, ysl, None] * wx[:, None, xsl])[..., None]
+        acc = (
+            corner(y0, x0, wy0, wx0)
+            + corner(y0, x1i, wy0, wx1)
+            + corner(y1i, x0, wy1, wx0)
+            + corner(y1i, x1i, wy1, wx1)
+        )
+        inb = (yin[:, :, None] & xin[:, None, :])[..., None]
+        acc = jnp.where(inb, acc, 0.0)
+        r = acc.shape[0]
+        # bin average: mean over each bin's S x S sample block
+        return acc.reshape(r, p, s, p, s, k).mean(axis=(2, 4))
 
-                acc = (
-                    corner(y0, x0, wy0, wx0)
-                    + corner(y0, x1i, wy0, wx1)
-                    + corner(y1i, x0, wy1, wx0)
-                    + corner(y1i, x1i, wy1, wx1)
-                )
-                inb = (yin[:, ysl, None] & xin[:, None, xsl])[..., None]
-                acc = jnp.where(inb, acc, 0.0)
-                outs.append(jnp.mean(acc, axis=(1, 2)))  # [R, K]
-        out = jnp.stack(outs, axis=1)  # [R, P*P, K]
-        return out.reshape(-1, p, p, k)
-
-    return jax.vmap(per_image)(flat, rois)
+    return jax.vmap(per_image)(table, rois)
