@@ -106,12 +106,10 @@ def main():
     gts, dts = [], []
     seen_ids = set()  # loader order is nondeterministic (worker threads) and
     limit = args.limit or len(ds)  # tails are padded by repetition: pair gt
-    for batch in loader:  # by image id and dedupe, never by arrival order
-        ids = batch.pop("_image_id")
-        orig_hw = batch.pop("_orig_hw")
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                  if not k.startswith("gt_") or True}
-        dets, masks = predict(params, shard_batch(jbatch, mesh))
+
+    def consume(ids, orig_hw, batch, dets, masks):
+        # fetch one batch's device outputs, then build det/gt records; gt
+        # pairs by image id with dedupe, never by arrival order
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         classes = np.asarray(dets.classes)
@@ -193,8 +191,27 @@ def main():
                         : len(g_boxes) - len(ex["polygons"])]
                 ]
             gts.append(g)
+
+    # One-deep pipeline: dispatch batch k+1's device work BEFORE fetching
+    # batch k's outputs, so the device computes the next batch while the
+    # host pulls results, pastes masks, and assembles gt records (jax
+    # dispatch is async; only the np.asarray calls in consume() block).
+    # A/B'd on the chip via scripts/bench_eval_path.py --pipeline:
+    # 60.7 -> 83.4 img/s at bs=48 (DESIGN.md §8).
+    pending = None
+    for batch in loader:
         if len(seen_ids) >= limit:
             break
+        ids = batch.pop("_image_id")
+        orig_hw = batch.pop("_orig_hw")
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if not k.startswith("gt_") or True}
+        out = predict(params, shard_batch(jbatch, mesh))
+        if pending is not None:
+            consume(*pending)
+        pending = (ids, orig_hw, batch, *out)
+    if pending is not None:
+        consume(*pending)
 
     gts, dts = merge_across_processes(gts, dts)
     if pidx != 0:

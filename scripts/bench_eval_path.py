@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--model", default="mask_rcnn")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="one-deep pipeline (dispatch k+1 before fetching "
+                         "k), matching eval.py's loop")
     # JAX_PLATFORMS env is ignored in this container (sitecustomize pins
     # the plugin); --platform cpu forces CPU before first device use.
     ap.add_argument("--platform", default=None)
@@ -70,10 +73,9 @@ def main():
 
     jpred = jax.jit(det.predict_fn)
 
-    def run_batch():
-        """One eval.py inner iteration: predict -> fetch -> paste+RLE."""
+    def fetch_and_paste(dets, masks):
+        """Host half of one eval.py iteration: fetch -> paste+RLE."""
         t0 = time.perf_counter()
-        dets, masks = jpred(params, batch)
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         valid = np.asarray(dets.valid)
@@ -98,23 +100,40 @@ def main():
 
     # compile + warm (cold compile can take ~30 min through the relay)
     t0 = time.perf_counter()
-    run_batch()
+    fetch_and_paste(*jpred(params, batch))
     print(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
     dev = host = 0.0
     dets_total = 0
     t_all0 = time.perf_counter()
-    for _ in range(args.iters):
-        t_dev, t_host, n = run_batch()
+    if args.pipeline:
+        # eval.py's one-deep pipeline: dispatch iteration k+1 before
+        # fetching iteration k (jax dispatch is async)
+        pending = jpred(params, batch)
+        for _ in range(args.iters - 1):
+            out = jpred(params, batch)
+            t_dev, t_host, n = fetch_and_paste(*pending)
+            dev += t_dev
+            host += t_host
+            dets_total += n
+            pending = out
+        t_dev, t_host, n = fetch_and_paste(*pending)
         dev += t_dev
         host += t_host
         dets_total += n
+    else:
+        for _ in range(args.iters):
+            t_dev, t_host, n = fetch_and_paste(*jpred(params, batch))
+            dev += t_dev
+            host += t_host
+            dets_total += n
     wall = time.perf_counter() - t_all0
     n_img = args.iters * args.batch
     print(json.dumps({
         "metric": f"{args.model} eval-path images/sec "
-                  f"(predict+fetch+paste+RLE, bs={args.batch}, {h}x{w})",
+                  f"(predict+fetch+paste+RLE, bs={args.batch}, {h}x{w}"
+                  f"{', pipelined' if args.pipeline else ''})",
         "value": round(n_img / wall, 2),
         "unit": "images/sec",
         "device_fetch_ms_per_img": round(dev / n_img * 1e3, 2),
