@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--pipeline", action="store_true",
                     help="one-deep pipeline (dispatch k+1 before fetching "
                          "k), matching eval.py's loop")
+    ap.add_argument("--depth", type=int, default=1,
+                    help="pipeline depth with --pipeline: keep N batches "
+                         "in flight (depth 1 = eval.py's loop)")
     # JAX_PLATFORMS env is ignored in this container (sitecustomize pins
     # the plugin); --platform cpu forces CPU before first device use.
     ap.add_argument("--platform", default=None)
@@ -108,20 +111,23 @@ def main():
     dets_total = 0
     t_all0 = time.perf_counter()
     if args.pipeline:
-        # eval.py's one-deep pipeline: dispatch iteration k+1 before
-        # fetching iteration k (jax dispatch is async)
-        pending = jpred(params, batch)
-        for _ in range(args.iters - 1):
-            out = jpred(params, batch)
-            t_dev, t_host, n = fetch_and_paste(*pending)
+        # N-deep pipeline: keep `depth` batches in flight, fetching the
+        # oldest once the queue is full (depth 1 = eval.py's loop:
+        # dispatch k+1 before fetching k; jax dispatch is async)
+        from collections import deque
+        pending = deque()
+        for _ in range(args.iters):
+            pending.append(jpred(params, batch))
+            if len(pending) > args.depth:
+                t_dev, t_host, n = fetch_and_paste(*pending.popleft())
+                dev += t_dev
+                host += t_host
+                dets_total += n
+        while pending:
+            t_dev, t_host, n = fetch_and_paste(*pending.popleft())
             dev += t_dev
             host += t_host
             dets_total += n
-            pending = out
-        t_dev, t_host, n = fetch_and_paste(*pending)
-        dev += t_dev
-        host += t_host
-        dets_total += n
     else:
         for _ in range(args.iters):
             t_dev, t_host, n = fetch_and_paste(*jpred(params, batch))
@@ -133,7 +139,8 @@ def main():
     print(json.dumps({
         "metric": f"{args.model} eval-path images/sec "
                   f"(predict+fetch+paste+RLE, bs={args.batch}, {h}x{w}"
-                  f"{', pipelined' if args.pipeline else ''})",
+                  + (f", pipelined depth={args.depth}" if args.pipeline
+                     else "") + ")",
         "value": round(n_img / wall, 2),
         "unit": "images/sec",
         "device_fetch_ms_per_img": round(dev / n_img * 1e3, 2),
