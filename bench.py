@@ -332,6 +332,9 @@ def main():
         and args.train_batch == ap.get_default("train_batch")
         and str(args.size) == str(ap.get_default("size"))
         and args.dtype == ap.get_default("dtype")
+        # short --iters probes are too noisy to overwrite the record
+        and args.iters == ap.get_default("iters")
+        and args.train_iters == ap.get_default("train_iters")
     )
     if is_headline and not out.get("stale"):
         _save_last_good(out)

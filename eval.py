@@ -200,7 +200,13 @@ def main():
     # 60.7 -> 83.4 img/s at bs=48 (DESIGN.md §8).
     pending = None
     for batch in loader:
-        if len(seen_ids) >= limit:
+        if pending is not None:
+            # consuming `pending` will raise seen_ids to exactly this
+            # count, so skip dispatching a batch whose outputs would all
+            # be discarded past --limit (advisor r4)
+            if len(seen_ids | {int(i) for i in pending[0]}) >= limit:
+                break
+        elif len(seen_ids) >= limit:
             break
         ids = batch.pop("_image_id")
         orig_hw = batch.pop("_orig_hw")

@@ -45,6 +45,8 @@ def main():
     # the plugin); --platform cpu forces CPU before first device use.
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
+    if args.depth > 1 and not args.pipeline:
+        args.pipeline = True  # --depth N implies the pipelined loop (advisor r4)
 
     import jax
     import jax.numpy as jnp

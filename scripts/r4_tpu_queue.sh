@@ -11,7 +11,10 @@ cd /root/repo
 
 echo "=== queue start $(date -u +%H:%M:%S)" >> "$LOG"
 if [ -f "$PIDFILE" ]; then
-  while kill -0 "$(cat "$PIDFILE")" 2>/dev/null; do sleep 30; done
+  # read the pid ONCE: a vanished/rewritten pid file must not leave the
+  # loop waiting on an unrelated reused pid (advisor r4)
+  PID="$(cat "$PIDFILE")"
+  while [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null; do sleep 30; done
 fi
 echo "=== headline bench done $(date -u +%H:%M:%S)" >> "$LOG"
 
