@@ -169,6 +169,220 @@ def activation_diff(sd: dict, cfg, size: int = 64) -> dict:
     return table
 
 
+# --------------------------------------------------------------------------
+# Detector-stage executors (VERDICT r4 item 7): FPN / RPN / box head run in
+# torch from the SAME state dict, each stage fed the torch reference's own
+# input so a diff implicates only that stage's conversion. Same stance as
+# the backbone: these are executors of reference weights, not
+# reimplementations of reference code.
+# --------------------------------------------------------------------------
+_DETECTOR_ALIASES = [
+    # lineage spellings -> canonical executor names (mirrors the accepted
+    # patterns of utils/torch_weights._DETECTOR_RULES)
+    (r"(?:fpn\.)?fpn_inner(\d)\.(weight|bias)", r"fpn.lateral\1.\2"),
+    (r"(?:fpn\.)?fpn_output(\d)\.(weight|bias)", r"fpn.smooth\1.\2"),
+    (r"rpn_conv\.(weight|bias)", r"rpn.conv.\1"),
+    (r"(?:rpn\.objectness|rpn_cls_score)\.(weight|bias)", r"rpn.cls_score.\1"),
+    (r"(?:rpn\.deltas|rpn_bbox_pred)\.(weight|bias)", r"rpn.bbox_pred.\1"),
+    (r"(?:box_head\.)?fc6\.(weight|bias)", r"box_head.fc1.\1"),
+    (r"(?:box_head\.)?fc7\.(weight|bias)", r"box_head.fc2.\1"),
+    (r"^cls_score\.(weight|bias)", r"box_head.cls_score.\1"),
+    (r"^bbox_pred\.(weight|bias)", r"box_head.bbox_pred.\1"),
+]
+
+
+def _normalize_detector_keys(sd: dict) -> dict:
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        for pat, repl in _DETECTOR_ALIASES:
+            k2 = re.sub(pat, repl, k)
+            if k2 != k:
+                k = k2
+                break
+        out[k] = v
+    return out
+
+
+def _rel_max_diff(ours: np.ndarray, ref: np.ndarray) -> float:
+    return float(np.abs(ours - ref).max() / max(np.abs(ref).max(), 1e-6))
+
+
+def detector_activation_diff(sd: dict, cfg, size: int = 64) -> dict:
+    """Per-stage activation diff for FPN + RPN + box head: torch executes the
+    source state dict, our Flax modules execute ``convert_detector_state_dict``
+    output, both on identical inputs. Returns {stage: row} like
+    ``activation_diff``; empty if the dict has no detector keys."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    import jax
+    import jax.numpy as jnp
+
+    from detectron_tpu.models.fpn import FPN
+    from detectron_tpu.models.heads import BoxHead, RPNHead
+    from detectron_tpu.models.resnet import ResNet
+    from detectron_tpu.utils.torch_weights import load_detector
+
+    # mask head parity is covered module-for-module by
+    # tests/test_torch_weights.py; VERDICT r4 item 7 scopes this executor to
+    # FPN + RPN + box head
+    sd = {k: v for k, v in _normalize_detector_keys(sd).items()
+          if "mask" not in k}
+    t = {k: torch.as_tensor(np.asarray(v), dtype=torch.float32)
+         for k, v in sd.items()}
+    table = {}
+    rng = np.random.RandomState(1)
+
+    has_fpn = "fpn.lateral2.weight" in t
+    has_rpn = "rpn.conv.weight" in t
+    has_box = "box_head.fc1.weight" in t
+    if not (has_fpn or has_rpn or has_box):
+        return table
+
+    ch = int(t["fpn.smooth2.weight"].shape[0]) if has_fpn else (
+        int(t["rpn.conv.weight"].shape[1]) if has_rpn
+        else cfg.model.fpn_channels)
+    p_side = int(cfg.roi.pool_size)
+    if has_box:
+        fc_in = int(t["box_head.fc1.weight"].shape[1])
+        p_side = int(round((fc_in / ch) ** 0.5))
+    n_anchors = (int(t["rpn.bbox_pred.weight"].shape[0]) // 4
+                 if has_rpn else 3)
+    hidden = int(t["box_head.fc1.weight"].shape[0]) if has_box else 1024
+    k_cls = int(t["box_head.cls_score.weight"].shape[0]) if has_box else 2
+    nreg = (int(t["box_head.bbox_pred.weight"].shape[0]) // 4
+            if has_box else k_cls)
+
+    # Build a params tree covering every module the state dict provides and
+    # run the REAL import path (load_detector), so the channel adapters
+    # (rpn 2A softmax -> A sigmoid, fc1 CHW->HWC permute) are the ones
+    # under test — not a reimplementation of them.
+    key = jax.random.key(0)
+    tree = {"params": {}}
+    if _backbone_subdict(sd):
+        bb = ResNet(depth=cfg.model.backbone, frozen_stages=0,
+                    norm=cfg.model.norm)
+        tree["params"]["backbone"] = bb.init(
+            key, jnp.zeros((1, 64, 64, 3)))["params"]
+    cins = ([int(t[f"fpn.lateral{l}.weight"].shape[1]) for l in range(2, 6)]
+            if has_fpn else [256, 512, 1024, 2048])
+    if has_fpn:
+        dummy = {f"c{i + 2}": jnp.zeros((1, 32 // 2 ** i, 32 // 2 ** i, c))
+                 for i, c in enumerate(cins)}
+        tree["params"]["fpn"] = FPN(channels=ch, levels="p2p6").init(
+            key, dummy)["params"]
+    if has_rpn:
+        tree["params"]["rpn"] = RPNHead(
+            num_anchors=n_anchors, channels=ch).init(
+            key, jnp.zeros((1, 8, 8, ch)))["params"]
+    if has_box:
+        tree["params"]["box_head"] = BoxHead(
+            num_classes=k_cls, hidden=hidden,
+            class_agnostic=nreg == 1).init(
+            key, jnp.zeros((1, 2, p_side, p_side, ch)))["params"]
+    try:
+        loaded = load_detector(tree, sd, pooled_hw=(p_side, p_side))["params"]
+    except (KeyError, ValueError) as e:
+        return {"detector": {"error": f"import failed: {e}"}}
+
+    def flax_params(prefix: str):
+        return {"params": loaded[prefix]}
+
+    if has_fpn:
+        # inputs: random c2..c5 at the lateral convs' own in-channels
+        cins = [int(t[f"fpn.lateral{l}.weight"].shape[1]) for l in range(2, 6)]
+        feats_t, feats_j = [], {}
+        for i, cin in enumerate(cins):
+            s = size // (4 * 2 ** i)
+            x = rng.randn(1, cin, s, s).astype(np.float32)
+            feats_t.append(torch.tensor(x))
+            feats_j[f"c{i + 2}"] = jnp.asarray(x.transpose(0, 2, 3, 1))
+        with torch.no_grad():
+            lat = [
+                F.conv2d(c, t[f"fpn.lateral{l}.weight"],
+                         t[f"fpn.lateral{l}.bias"])
+                for l, c in zip(range(2, 6), feats_t)
+            ]
+            tds = [lat[-1]]
+            for x in reversed(lat[:-1]):
+                tds.append(x + F.interpolate(tds[-1], scale_factor=2,
+                                             mode="nearest"))
+            tds = tds[::-1]
+            ps = [
+                F.conv2d(x, t[f"fpn.smooth{l}.weight"],
+                         t[f"fpn.smooth{l}.bias"], padding=1)
+                for l, x in zip(range(2, 6), tds)
+            ]
+            ps.append(F.max_pool2d(ps[-1], 1, 2))  # p6
+        ours = FPN(channels=ch, levels="p2p6").apply(flax_params("fpn"),
+                                                     feats_j)
+        for i, (name, ref) in enumerate(zip(("p2", "p3", "p4", "p5", "p6"),
+                                            ps)):
+            o = np.asarray(ours[i]).transpose(0, 3, 1, 2)
+            table[name] = {"shape": list(ref.shape),
+                           "rel_max_diff": _rel_max_diff(o, ref.numpy())}
+
+    if has_rpn:
+        s = size // 16
+        x = rng.randn(1, ch, s, s).astype(np.float32)
+        with torch.no_grad():
+            h = F.relu(F.conv2d(torch.tensor(x), t["rpn.conv.weight"],
+                                t["rpn.conv.bias"], padding=1))
+            cls = F.conv2d(h, t["rpn.cls_score.weight"],
+                           t["rpn.cls_score.bias"])
+            reg = F.conv2d(h, t["rpn.bbox_pred.weight"],
+                           t["rpn.bbox_pred.bias"])
+        if cls.shape[1] == 2 * n_anchors:
+            # lineage 2A bg/fg softmax (bg block first): fg posterior
+            bg, fg = cls[:, :n_anchors], cls[:, n_anchors:]
+            ref_obj = torch.sigmoid(fg - bg).permute(0, 2, 3, 1).reshape(1, -1)
+        else:
+            ref_obj = torch.sigmoid(cls).permute(0, 2, 3, 1).reshape(1, -1)
+        ref_reg = reg.permute(0, 2, 3, 1).reshape(1, -1, 4)
+        logits, deltas = RPNHead(num_anchors=n_anchors, channels=ch).apply(
+            flax_params("rpn"), jnp.asarray(x.transpose(0, 2, 3, 1)))
+        table["rpn_obj"] = {
+            "shape": list(ref_obj.shape),
+            "rel_max_diff": _rel_max_diff(
+                np.asarray(jax.nn.sigmoid(logits)), ref_obj.numpy()),
+        }
+        table["rpn_deltas"] = {
+            "shape": list(ref_reg.shape),
+            "rel_max_diff": _rel_max_diff(np.asarray(deltas), ref_reg.numpy()),
+        }
+
+    if has_box:
+        x = rng.randn(4, ch, p_side, p_side).astype(np.float32)
+        with torch.no_grad():
+            h = F.relu(F.linear(torch.tensor(x).reshape(4, -1),
+                                t["box_head.fc1.weight"],
+                                t["box_head.fc1.bias"]))
+            h = F.relu(F.linear(h, t["box_head.fc2.weight"],
+                                t["box_head.fc2.bias"]))
+            ref_cls = F.linear(h, t["box_head.cls_score.weight"],
+                               t["box_head.cls_score.bias"])
+            ref_reg = F.linear(h, t["box_head.bbox_pred.weight"],
+                               t["box_head.bbox_pred.bias"])
+        cls, reg = BoxHead(
+            num_classes=k_cls, hidden=hidden, class_agnostic=nreg == 1,
+        ).apply(flax_params("box_head"),
+                jnp.asarray(x.transpose(0, 2, 3, 1))[None])
+        table["box_cls"] = {
+            "shape": list(ref_cls.shape),
+            "rel_max_diff": _rel_max_diff(np.asarray(cls)[0],
+                                          ref_cls.numpy()),
+        }
+        table["box_reg"] = {
+            "shape": list(ref_reg.shape),
+            "rel_max_diff": _rel_max_diff(
+                np.asarray(reg)[0].reshape(4, -1), ref_reg.numpy()),
+        }
+    return table
+
+
 def run_eval(args, extra_cfg: list) -> dict:
     """Drive the full eval.py path in-process with the checkpoint wired via
     cfg.model.weights (+ --no-restore): loader -> jitted predict ->
@@ -243,6 +457,10 @@ def main():
     summary = {"weights": args.weights, "ok": True}
     if not args.skip_activations:
         table = activation_diff(sd, cfg, size=args.act_size)
+        det_table = detector_activation_diff(sd, cfg, size=args.act_size)
+        if "skipped" in table and det_table:
+            table = {}  # head-only checkpoint: detector stages are the story
+        table.update(det_table)
         summary["activations"] = table
         print(f"{'stage':<8}{'shape':<24}{'rel max |diff|':<16}verdict")
         for name, row in table.items():
