@@ -167,10 +167,14 @@ def base_config() -> ml_collections.ConfigDict:
     # cross-level candidate cap before the merged class-aware NMS: greedy
     # NMS cost is linear in the sequential candidate count, so capping
     # 5*pre_nms_topk=5000 to the top N by score shortens the serial
-    # suppression chain. OFF by default (0 = no cap): in crowded scenes
-    # more than N candidates can clear score_thresh=0.05, so the cap is
-    # only provably mAP-neutral on sparse scenes — opt in for speed
-    # (configs/retinanet_fast.yaml uses 2000, ~2.5x shorter chain).
+    # suppression chain. OFF by default (0 = no cap): MEASURED mAP damage
+    # on a dense 340-object fixture (tests/test_retinanet_dense.py) —
+    # when a few salient objects' many above-floor anchor activations
+    # fill the top-2000, the cap deletes modest objects before NMS can
+    # dedup, costing AP 0.294 -> 0.119 at maxDets=100 (0.983 -> 0.119 at
+    # full recall). Opt in for speed on sparse data only
+    # (configs/retinanet_fast.yaml uses 2000, ~2.5x shorter chain,
+    # 128.8 -> 148.8 img/s at bs=8).
     cfg.retinanet.merged_pre_nms_topk = 0
     cfg.retinanet.score_thresh = 0.05
     cfg.retinanet.nms_thresh = 0.5
