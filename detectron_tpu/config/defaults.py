@@ -54,11 +54,18 @@ def base_config() -> ml_collections.ConfigDict:
     cfg.model.weights = ""
     cfg.model.dtype = "float32"  # compute dtype: float32 | bfloat16
     # Pallas kernels on the inference path, per op: auto = when on TPU;
-    # on/off force. Measured on v5e @1024^2 bs=2 bf16 (full Mask R-CNN):
-    # standalone the Pallas kernels win big (NMS ~25x, RoIAlign 14x14 ~3x),
-    # but in the full program XLA's fusion/pipelining of the jnp versions
-    # wins end-to-end (21.6ms all-jnp vs 23.8ms pallas-NMS vs 24.5ms both),
-    # so defaults stay off until cross-kernel overlap is tuned.
+    # on/off force. CLOSED question (measured, r2+r5): standalone the
+    # Pallas kernels win big (NMS ~25x, RoIAlign 14x14 ~3x), but in the
+    # full program XLA's fusion/pipelining of the jnp versions wins
+    # end-to-end at EVERY batch — bs=2 Mask R-CNN 21.6ms all-jnp vs
+    # 23.8ms pallas-NMS vs 24.5ms both (r2), and even bs=1 Faster R-CNN,
+    # the most serial-NMS-bound program we have (~30% of the step in NMS
+    # while-loops), measures 62.6 img/s with fused_nms=on vs 71.6 jnp
+    # baseline vs 88.3 jnp+fixpoint (r5, DESIGN.md §9). The pallas_call
+    # fusion barrier costs more than the kernel saves; the serial-chain
+    # problem is better solved IN XLA by the fixpoint NMS formulation
+    # (model.nms_algo auto picks it at bs<=2). Kernels stay available,
+    # bit-exact-tested, and off by default.
     cfg.model.fused_nms = "off"
     cfg.model.fused_roi_align = "off"
     # greedy-NMS algorithm for the jnp path: "tiled" (128-box tiles +

@@ -110,16 +110,25 @@ class RFCN(nn.Module):
         # pooled vote. f32 pooling keeps the vote exact under bf16 trunks.
         cls_map = self.ps_cls(feat).astype(jnp.float32)
         box_map = self.ps_box(feat).astype(jnp.float32)
-        pooled_cls = ps_roi_pool(
-            cls_map, rois, RFCN_STRIDE, output_size=self.ps_pool,
+        # ONE merged pool over (K+1)+4 channel groups instead of two: the
+        # box table alone has 4 channels, and its autodiff backward
+        # scatter tiled at 4/128 lanes cost 129 ms of the 328 ms bs=8
+        # train step (op profile, DESIGN.md §9) — riding the box channels
+        # on the cls table's well-tiled scatter removes that entirely.
+        # Exact: pooling is per-channel, so concat/split commutes with it.
+        b, h, w, _ = cls_map.shape
+        p2 = self.ps_pool * self.ps_pool
+        k = self.num_classes
+        merged = jnp.concatenate(
+            [cls_map.reshape(b, h, w, p2, k),
+             box_map.reshape(b, h, w, p2, 4)], axis=-1,
+        ).reshape(b, h, w, p2 * (k + 4))
+        pooled = ps_roi_pool(
+            merged, rois, RFCN_STRIDE, output_size=self.ps_pool,
             sampling_ratio=self.sampling_ratio,
-        )  # [B, R, P, P, K+1]
-        pooled_box = ps_roi_pool(
-            box_map, rois, RFCN_STRIDE, output_size=self.ps_pool,
-            sampling_ratio=self.sampling_ratio,
-        )  # [B, R, P, P, 4]
-        cls_logits = pooled_cls.mean(axis=(2, 3))
-        reg = pooled_box.mean(axis=(2, 3))[:, :, None, :]  # class-agnostic
+        )  # [B, R, P, P, K+1+4]
+        cls_logits = pooled[..., :k].mean(axis=(2, 3))
+        reg = pooled[..., k:].mean(axis=(2, 3))[:, :, None, :]  # agnostic
         return cls_logits, reg
 
     def __call__(self, images, rois):  # init path
