@@ -118,3 +118,22 @@ def test_class_aware_nms_keeps_cross_class_overlaps():
     idx, valid = nms_ops.class_aware_nms(boxes, scores, classes, 0.5, 3)
     kept = sorted(np.asarray(idx)[np.asarray(valid)].tolist())
     assert kept == [0, 1]
+
+
+def test_resolve_nms_algo_batch_aware():
+    """Round-5: `model.nms_algo=auto` resolves per-batch — fixpoint at
+    bs<=2 (measured bs=1 71.6->88.3 img/s on v5e; DESIGN.md §9), the
+    existing tiled/loop auto at larger batches; explicit settings pass
+    through untouched."""
+    from detectron_tpu.config import get_config
+    from detectron_tpu.models.faster_rcnn import resolve_nms_algo
+
+    cfg = get_config()
+    assert resolve_nms_algo(cfg, 1) == "fixpoint"
+    assert resolve_nms_algo(cfg, 2) == "fixpoint"
+    assert resolve_nms_algo(cfg, 4) == "auto"
+    assert resolve_nms_algo(cfg, 48) == "auto"
+    cfg.model.nms_algo = "tiled"
+    assert resolve_nms_algo(cfg, 1) == "tiled"
+    cfg.model.nms_algo = "fixpoint"
+    assert resolve_nms_algo(cfg, 48) == "fixpoint"

@@ -142,3 +142,41 @@ def test_rfcn_overfits_synthetic():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert min(losses[-10:]) < 0.5 * max(losses[:5]), losses[::10]
+
+
+def test_rfcn_merged_table_equals_two_pools():
+    """Round-5 perf rewrite: cls+box PS maps merge into ONE flat table
+    before PSRoIPool (the 4-channel box table's backward scatter tiled at
+    4/128 lanes; DESIGN.md §9). Pooling is per-channel, so the merged
+    box() must equal pooling the two maps separately — pinned here."""
+    from detectron_tpu.models.rfcn import RFCN_STRIDE, build_rfcn
+    from detectron_tpu.ops.ps_roi_pool import ps_roi_pool
+
+    cfg = _cfg()
+    model = build_rfcn(cfg)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    xy1 = rng.rand(1, 5, 2).astype(np.float32) * 24
+    wh = 8 + rng.rand(1, 5, 2).astype(np.float32) * 32
+    rois = jnp.asarray(np.concatenate([xy1, xy1 + wh], -1))
+    variables = model.init(jax.random.key(1), images, rois)
+
+    feat = model.apply(variables, images, method=model.features)
+    cls_logits, reg = model.apply(variables, feat, rois, method=model.box)
+
+    # reference: two independent pools of the separate maps
+    p = cfg.roi.pool_size
+    cls_map = model.apply(variables, feat,
+                          method=lambda m, f: m.ps_cls(f)).astype(jnp.float32)
+    box_map = model.apply(variables, feat,
+                          method=lambda m, f: m.ps_box(f)).astype(jnp.float32)
+    ref_cls = ps_roi_pool(cls_map, rois, RFCN_STRIDE, output_size=p,
+                          sampling_ratio=cfg.roi.sampling_ratio
+                          ).mean(axis=(2, 3))
+    ref_reg = ps_roi_pool(box_map, rois, RFCN_STRIDE, output_size=p,
+                          sampling_ratio=cfg.roi.sampling_ratio
+                          ).mean(axis=(2, 3))[:, :, None, :]
+    np.testing.assert_allclose(np.asarray(cls_logits), np.asarray(ref_cls),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(reg), np.asarray(ref_reg),
+                               rtol=1e-6, atol=1e-6)
