@@ -247,15 +247,18 @@ def rpn_losses(scores_pl, deltas_pl, anchors, gt_boxes, gt_classes, key, cfg):
     return {"loss_rpn_cls": cls_loss, "loss_rpn_box": box_loss}
 
 
-def resolve_nms_algo(cfg, batch: int) -> str:
+def resolve_nms_algo(cfg, batch: int, train: bool = False) -> str:
     """Batch-aware ``auto``: at bs<=2 the per-image serial NMS chains
     dominate the program (no batch parallelism to hide them) and the
     fixpoint formulation wins big — measured on v5e 1024² bf16:
     faster_rcnn bs=1 71.6 -> 88.3 img/s, bs=2 110.4 -> 127.5, mask_rcnn
     bs=1 65.6 -> 85.2; bs=4 within noise (+1.8%), bs>=8 tiled wins
-    (round-2 A/B). DESIGN.md §9."""
+    (round-2 A/B). DESIGN.md §9. Inference-only: the cited A/Bs are all
+    eval programs (train NMS runs at the larger pre_nms_topk_train
+    candidate counts and was not measured), so the train path keeps the
+    plain auto until a train-mode A/B lands."""
     algo = cfg.model.get("nms_algo", "auto")
-    if algo == "auto" and batch <= 2:
+    if algo == "auto" and batch <= 2 and not train:
         return "fixpoint"
     return algo
 
@@ -269,7 +272,7 @@ def proposals_from_rpn(scores_pl, deltas_pl, anchors_pl, image_hw, cfg,
         nms_thresh=cfg.rpn.nms_thresh,
         min_size=cfg.rpn.min_size,
         nms_impl="pallas" if use_fused_nms(cfg) else "jnp",
-        nms_algo=resolve_nms_algo(cfg, scores_pl[0].shape[0]),
+        nms_algo=resolve_nms_algo(cfg, scores_pl[0].shape[0], train=train),
         exact_topk=cfg.rpn.get("exact_topk", False),
     )
 

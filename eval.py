@@ -203,8 +203,12 @@ def main():
         if pending is not None:
             # consuming `pending` will raise seen_ids to exactly this
             # count, so skip dispatching a batch whose outputs would all
-            # be discarded past --limit (advisor r4)
-            if len(seen_ids | {int(i) for i in pending[0]}) >= limit:
+            # be discarded past --limit (advisor r4). Ids normalize the
+            # same way consume() stores them — they can be strings
+            # (CityPersons/VOC), so no int() here.
+            pend_ids = {i.item() if hasattr(i, "item") else i
+                        for i in pending[0]}
+            if len(seen_ids | pend_ids) >= limit:
                 break
         elif len(seen_ids) >= limit:
             break

@@ -271,7 +271,7 @@ def detector_activation_diff(sd: dict, cfg, size: int = 64) -> dict:
             if has_fpn else [256, 512, 1024, 2048])
     if has_fpn:
         dummy = {f"c{i + 2}": jnp.zeros((1, 32 // 2 ** i, 32 // 2 ** i, c))
-                 for i, c in enumerate(cins)}
+                 for i, c in enumerate(cins)}  # cins reused below for inputs
         tree["params"]["fpn"] = FPN(channels=ch, levels="p2p6").init(
             key, dummy)["params"]
     if has_rpn:
@@ -293,7 +293,6 @@ def detector_activation_diff(sd: dict, cfg, size: int = 64) -> dict:
 
     if has_fpn:
         # inputs: random c2..c5 at the lateral convs' own in-channels
-        cins = [int(t[f"fpn.lateral{l}.weight"].shape[1]) for l in range(2, 6)]
         feats_t, feats_j = [], {}
         for i, cin in enumerate(cins):
             s = size // (4 * 2 ** i)
@@ -458,8 +457,13 @@ def main():
     if not args.skip_activations:
         table = activation_diff(sd, cfg, size=args.act_size)
         det_table = detector_activation_diff(sd, cfg, size=args.act_size)
-        if "skipped" in table and det_table:
+        if (table.get("skipped") == "no backbone keys in state dict"
+                and det_table):
             table = {}  # head-only checkpoint: detector stages are the story
+            # any OTHER backbone skip reason (torch load failure, missing
+            # keys) stays in the table and fails the run — a full-detector
+            # checkpoint whose backbone could not be verified must not
+            # report ok=true on head stages alone
         table.update(det_table)
         summary["activations"] = table
         print(f"{'stage':<8}{'shape':<24}{'rel max |diff|':<16}verdict")

@@ -133,6 +133,9 @@ def test_resolve_nms_algo_batch_aware():
     assert resolve_nms_algo(cfg, 2) == "fixpoint"
     assert resolve_nms_algo(cfg, 4) == "auto"
     assert resolve_nms_algo(cfg, 48) == "auto"
+    # inference-only: the cited A/Bs are eval programs (train candidate
+    # counts were never measured), so train keeps the plain auto
+    assert resolve_nms_algo(cfg, 1, train=True) == "auto"
     cfg.model.nms_algo = "tiled"
     assert resolve_nms_algo(cfg, 1) == "tiled"
     cfg.model.nms_algo = "fixpoint"
