@@ -154,6 +154,12 @@ def base_config() -> ml_collections.ConfigDict:
     # (costs a [B*R, wh, ww, C] HBM tensor; A/B via
     # scripts/bench_roialign_bwd.py / bench.py --mode train).
     cfg.roi.bwd_order = "sep"
+    # 8-aligned window-gather starts: widens the gathered window by 8
+    # columns and rounds each slice start down to a multiple of 8 so every
+    # row slice begins on an (8,128)-tile boundary of the flat feature
+    # table. Bit-exact (weights re-base; routing unchanged). Trades +25%
+    # gather bytes for aligned DMA starts — measured knob, see DESIGN.md §9.
+    cfg.roi.align_x8 = False
     cfg.roi.bbox_reg_weights = (10.0, 10.0, 5.0, 5.0)
     cfg.roi.smooth_l1_sigma = 1.0
     cfg.roi.class_agnostic_regression = False

@@ -112,6 +112,9 @@ class TwoStageDetector(nn.Module):
     # "xla" (d_windows precomputed by batched XLA matmuls, kernel = pure
     # DMA read-add-write; trades an HBM tensor for MXU utilization).
     roi_bwd_order: str = "sep"
+    # 8-aligned window-gather starts (+8 gather columns of slack); exact,
+    # routing unchanged — see ops/roi_align.py::multilevel_roi_align_windowed
+    roi_align_x8: bool = False
     norm: str = "frozen_bn"  # frozen_bn | gn (trainable GroupNorm-32)
     # remat non-frozen backbone blocks in the backward (models/resnet.py):
     # trades block recompute for activation HBM at large train batches
@@ -174,7 +177,7 @@ class TwoStageDetector(nn.Module):
             return roi_align_window_trainable(
                 tuple(levels[: len(ROI_STRIDES)]), rois, ROI_STRIDES, size,
                 self.sampling_ratio, self.roi_window, self.roi_chunk,
-                self.roi_window_w, self.roi_bwd_order,
+                self.roi_window_w, self.roi_bwd_order, self.roi_align_x8,
             )
         return multilevel_roi_align(
             levels[: len(ROI_STRIDES)], rois, ROI_STRIDES,
@@ -216,6 +219,7 @@ def build_two_stage(cfg, include_mask: bool) -> TwoStageDetector:
         roi_chunk=cfg.roi.get("chunk", -1),
         roi_window_w=cfg.roi.get("window_w", 0),
         roi_bwd_order=cfg.roi.get("bwd_order", "sep"),
+        roi_align_x8=cfg.roi.get("align_x8", False),
         norm=cfg.model.get("norm", "frozen_bn"),
         remat=cfg.model.get("remat", False),
         dtype=jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32,

@@ -284,6 +284,7 @@ def multilevel_roi_align_windowed(
     window: int = 32,
     chunk: int = 0,
     window_w: int = 0,
+    align_x8: bool = False,
 ) -> jnp.ndarray:
     """RoIAlign as windowed separable interpolation MATMULS, pure XLA.
 
@@ -310,6 +311,16 @@ def multilevel_roi_align_windowed(
     made bs>=48 inference fail to compile (round-2 "padding blowup").
     Exactness is unaffected (per-RoI computation is independent).
 
+    align_x8 widens the gathered window by 8 columns and rounds each
+    window's x-start DOWN to a multiple of 8 so every [gw, C] row slice
+    starts on an (8,128)-tile boundary of the flat table (level widths and
+    offsets are all multiples of 8, so the slice start mod 8 equals
+    x0 mod 8). Interpolation weights re-base on the actual start, level
+    routing still uses the UNwidened window span, and out-of-level columns
+    carry zero weight — bit-exact with align_x8=False for every box
+    (asserted in tests/test_roi_align.py). Trades +25% gather bytes for
+    tile-aligned DMA starts; keep it a measured knob.
+
     chunk == -1 (the cfg default) picks automatically from static shapes:
     unchunked while the window tensor stays under 6.5 GB (bs<=32 measured
     best unchunked; chunking bs=32 is throughput-neutral, 132.7 vs 133.1
@@ -333,8 +344,11 @@ def multilevel_roi_align_windowed(
     # follows BOTH dims so level assignment keeps RoIs inside the window.
     win_h, win_w = resolve_window(window, window_w, hs[-1], ws[-1])
     max_span = (float(win_h - 4), float(win_w - 4))
+    # gathered x-extent: +8 alignment slack when align_x8 (see docstring);
+    # routing/fallback keep using win_w so level assignment is unchanged
+    gw = win_w + 8 if align_x8 else win_w
     if chunk == -1:  # auto: resolve from static shapes (see docstring)
-        chunk = _resolve_auto_chunk(b, r, win_h, win_w, c,
+        chunk = _resolve_auto_chunk(b, r, win_h, gw, c,
                                     np.dtype(dtype).itemsize)
     if hs[-1] > win_h or ws[-1] > win_w:
         # coarsest level must fit whole (top-clamped RoI spans are unbounded)
@@ -358,7 +372,7 @@ def multilevel_roi_align_windowed(
     # zero tail so end-of-table windows never clamp their slice starts
     # (clamping would shift values away from the positions the weights
     # assume); weights already mask rows/cols outside the true level.
-    flat = jnp.pad(flat, ((0, 0), (0, win_h * int(ws.max()) + win_w), (0, 0)))
+    flat = jnp.pad(flat, ((0, 0), (0, win_h * int(ws.max()) + gw), (0, 0)))
 
     strides_arr = jnp.asarray(np.array(strides, np.float32))
     hs_f = jnp.asarray(hs.astype(np.float32))
@@ -392,16 +406,21 @@ def multilevel_roi_align_windowed(
         y0 = jnp.clip(jnp.floor(fy1).astype(jnp.int32) - 1, 0,
                       jnp.maximum(hli - win_h, 0))
         x0 = jnp.clip(jnp.floor(fx1).astype(jnp.int32) - 1, 0,
-                      jnp.maximum(wli - win_w, 0))
+                      jnp.maximum(wli - gw, 0))
+        if align_x8:
+            # tile-aligned slice starts: level widths/offsets are multiples
+            # of 8, so start % 8 == x0 % 8; the 8-col slack in gw keeps the
+            # (unchanged) routed span covered after rounding down
+            x0 = (x0 // 8) * 8
         wy = _interp_weights(fy1, fh, y0, win_h, hl, p, s)  # [R, P, wh]
-        wx = _interp_weights(fx1, fw, x0, win_w, wl, p, s)  # [R, P, ww]
+        wx = _interp_weights(fx1, fw, x0, gw, wl, p, s)  # [R, P, gw]
 
         # window row starts in the flat table: [R, wh]
         row = y0[:, None] + jnp.asarray(np.arange(win_h), jnp.int32)[None, :]
         start = off[:, None] + row * wli[:, None] + x0[:, None]
 
-        def row_slice(st):  # (ww, C) contiguous slice
-            return jax.lax.dynamic_slice(feat_flat, (st, 0), (win_w, c))
+        def row_slice(st):  # (gw, C) contiguous slice
+            return jax.lax.dynamic_slice(feat_flat, (st, 0), (gw, c))
 
         win = jax.vmap(jax.vmap(row_slice))(start)  # [R, wh, ww, C]
         # NB a "simpler" 1-D formulation (slice (ww*C,) runs off the

@@ -745,11 +745,12 @@ roi_align_fused.defvjp(_fwd, _bwd)
 @functools.partial(
     jax.custom_vjp,
     nondiff_argnames=("strides", "output_size", "sampling_ratio", "window",
-                      "chunk", "window_w", "bwd_order"),
+                      "chunk", "window_w", "bwd_order", "align_x8"),
 )
 def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
                                output_size=7, sampling_ratio=2, window=32,
-                               chunk=0, window_w=0, bwd_order="sep"):
+                               chunk=0, window_w=0, bwd_order="sep",
+                               align_x8=False):
     """Windowed separable-matmul forward (ops/roi_align.py, the fastest
     inference path) + Pallas scatter-add backward. The windowed forward's
     AUTODIFF backward scatters whole [R, wh, ww, C] windows, which measured
@@ -762,24 +763,27 @@ def roi_align_window_trainable(features, rois, strides=(4, 8, 16, 32),
     return multilevel_roi_align_windowed(
         list(features), rois, list(strides), output_size=output_size,
         sampling_ratio=sampling_ratio, window=window, chunk=chunk,
-        window_w=window_w,
+        window_w=window_w, align_x8=align_x8,
     )
 
 
 def _wfwd(features, rois, strides, output_size, sampling_ratio, window,
-          chunk, window_w, bwd_order):
+          chunk, window_w, bwd_order, align_x8):
     out = roi_align_window_trainable(features, rois, strides, output_size,
                                      sampling_ratio, window, chunk, window_w,
-                                     bwd_order)
+                                     bwd_order, align_x8)
     return out, (features, rois)
 
 
 def _wbwd(strides, output_size, sampling_ratio, window, chunk, window_w,
-          bwd_order, res, g):
+          bwd_order, align_x8, res, g):
     features, rois = res
     # Pass the forward's routing window through so fwd/bwd assign RoIs to
     # IDENTICAL FPN levels for every value of the roi.window/window_w knobs
     # (a hardcoded DEFAULT_MAX_SPAN here silently mis-trained window != 32).
+    # align_x8 is gradient-invariant: it only re-bases the forward's gather
+    # window; sample positions (and hence d/d_features) depend on rois +
+    # routing alone, so the backward kernel needs no alignment awareness.
     d_features = multilevel_roi_align_pallas_bwd(
         g, list(features), rois, strides=tuple(strides),
         output_size=output_size, sampling_ratio=sampling_ratio,

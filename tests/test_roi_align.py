@@ -298,6 +298,42 @@ def test_windowed_exact_for_elongated_band_top_boxes():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize("pool", [7, 14])
+def test_windowed_align_x8_exact(pool):
+    """roi.align_x8 (8-aligned gather starts, +8 slack columns) is exact:
+    the weights re-base on the rounded start, level routing is unchanged,
+    and out-of-level columns (the coarsest level is narrower than the
+    widened window) carry zero weight. Must match both the unaligned
+    windowed path and the gather oracle, including band-top elongated
+    boxes and windows clamped at level edges."""
+    rng = np.random.RandomState(7)
+    feats = [jnp.asarray(rng.randn(2, 256 >> i, 256 >> i, 16), jnp.float32)
+             for i in range(4)]
+    strides = (4, 8, 16, 32)
+    boxes = np.array(
+        [
+            [10, 10, 60, 50],
+            [577.8, 602.5, 937.9, 737.3],   # band-top at P3
+            [0.0, 0.0, 1010.0, 1010.0],     # coarsest level, whole window
+            [900.0, 100.0, 1020.0, 180.0],  # right-edge clamp
+            [10.0, 500.0, 1010.0, 540.0],   # 25:1 ribbon
+            [5, 5, 6.5, 8],
+        ],
+        np.float32,
+    )
+    rois = jnp.asarray(np.stack([boxes + 2.7 * i for i in range(2)]))
+    oracle = ra.multilevel_roi_align(feats, rois, strides, output_size=pool)
+    plain = ra.multilevel_roi_align_windowed(feats, rois, strides,
+                                             output_size=pool)
+    aligned = ra.multilevel_roi_align_windowed(feats, rois, strides,
+                                               output_size=pool,
+                                               align_x8=True)
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(plain),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(oracle),
+                               atol=2e-4)
+
+
 def test_span_aware_level_promotion():
     # 360x135 box: area rule says P3 (span 45 cells > 36) -> promoted to P4
     rois = jnp.array([[0.0, 0.0, 360.0, 135.0], [0.0, 0.0, 100.0, 100.0]])
