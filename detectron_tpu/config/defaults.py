@@ -61,11 +61,14 @@ def base_config() -> ml_collections.ConfigDict:
     # 23.8ms pallas-NMS vs 24.5ms both (r2), and even bs=1 Faster R-CNN,
     # the most serial-NMS-bound program we have (~30% of the step in NMS
     # while-loops), measures 62.6 img/s with fused_nms=on vs 71.6 jnp
-    # baseline vs 88.3 jnp+fixpoint (r5, DESIGN.md §9). The pallas_call
-    # fusion barrier costs more than the kernel saves; the serial-chain
-    # problem is better solved IN XLA by the fixpoint NMS formulation
-    # (model.nms_algo auto picks it at bs<=2). Kernels stay available,
-    # bit-exact-tested, and off by default.
+    # baseline vs 88.3 jnp+fixpoint (r5, DESIGN.md §9), and the bs=48
+    # headline — where the windowed align's HBM window round-trip is ~41%
+    # of the program, the Pallas kernel's best case — measures 121.05 with
+    # fused_roi_align=on vs 140.4 (r5). The pallas_call fusion barrier +
+    # per-RoI sequential grid cost more than the HBM traffic the kernels
+    # save; the serial-chain problem is better solved IN XLA by the
+    # fixpoint NMS formulation (model.nms_algo auto picks it at bs<=2).
+    # Kernels stay available, bit-exact-tested, and off by default.
     cfg.model.fused_nms = "off"
     cfg.model.fused_roi_align = "off"
     # greedy-NMS algorithm for the jnp path: "tiled" (128-box tiles +
@@ -106,6 +109,13 @@ def base_config() -> ml_collections.ConfigDict:
     # exact top_k over P2's ~800k objectness logits is sort-bound on TPU
     # (same trade as retinanet.exact_topk; measured A/B in docs/DESIGN.md)
     cfg.rpn.exact_topk = False
+    # approx_max_k recall target. Sizes the partial-reduction buffer the
+    # TPU lowering exact-sorts afterwards: at bs=1 1024² the P2 selection's
+    # 128000-wide aggregate sort is 0.80 ms of the 13.0 ms program.
+    # MEASURED (r5, DESIGN.md §9): LOWERING it is counterproductive —
+    # 0.95 benches 69.4 img/s vs 79.5 default at mask bs=1 (the lowering
+    # picks a worse reduction shape at lower recall). Keep 0.99.
+    cfg.rpn.topk_recall = 0.99
     cfg.rpn.positive_iou = 0.7
     cfg.rpn.negative_iou = 0.3
     cfg.rpn.batch_per_image = 256
@@ -177,6 +187,8 @@ def base_config() -> ml_collections.ConfigDict:
     # hardware-optimized) is the default (mAP-neutral: only low-score
     # candidates near the cutoff differ)
     cfg.retinanet.exact_topk = False
+    # approx_max_k recall target (same latency trade as rpn.topk_recall)
+    cfg.retinanet.topk_recall = 0.99
     # cross-level candidate cap before the merged class-aware NMS: greedy
     # NMS cost is linear in the sequential candidate count, so capping
     # 5*pre_nms_topk=5000 to the top N by score shortens the serial

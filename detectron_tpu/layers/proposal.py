@@ -42,6 +42,7 @@ def generate_proposals(
     nms_impl: str = "jnp",
     nms_algo: str = "auto",
     exact_topk: bool = False,
+    topk_recall: float = 0.99,
 ) -> Proposals:
     """RPN proposals for a batch. Scores are raw logits (monotonic with
     sigmoid, so no activation needed for ranking; sigmoid applied for the
@@ -51,7 +52,16 @@ def generate_proposals(
     per-level pre-NMS candidate cut on large levels — exact ``top_k`` over
     P2's ~800k logits is sort-bound on TPU (the same trade RetinaNet's
     candidate selection makes; only tail candidates near the 1000th-place
-    cutoff can differ)."""
+    cutoff can differ).
+
+    topk_recall sets approx_max_k's recall_target. It sizes the partial-
+    reduction buffer the TPU lowering must exact-sort afterwards: at
+    k=1000 over P2's 196k logits (bs=1, 1024²), recall 0.99 leaves a
+    128000-wide buffer whose aggregate sort is the single most expensive
+    postprocess op of the bs=1 program (0.80 ms of 13.0). Measured on the
+    chip (DESIGN.md §9): LOWER recall is slower end-to-end (0.95 = 69.4
+    vs 79.5 img/s at mask bs=1) — the lowering picks a worse reduction
+    shape — so the default stays 0.99; the knob records the A/B."""
     num_levels = len(scores_per_level)
 
     def per_image(scores_levels, deltas_levels, hw):
@@ -64,7 +74,8 @@ def generate_proposals(
             if exact_topk or s.shape[0] < 4 * k:
                 top_s, top_i = jax.lax.top_k(s, k)
             else:
-                top_s, top_i = jax.lax.approx_max_k(s, k, recall_target=0.99)
+                top_s, top_i = jax.lax.approx_max_k(
+                    s, k, recall_target=topk_recall)
             boxes = box_ops.decode_boxes(d[top_i], anc[top_i])
             boxes = box_ops.clip_boxes(boxes, hw[0], hw[1])
             ok = box_ops.valid_box_mask(boxes, min_size)

@@ -278,6 +278,7 @@ def proposals_from_rpn(scores_pl, deltas_pl, anchors_pl, image_hw, cfg,
         nms_impl="pallas" if use_fused_nms(cfg) else "jnp",
         nms_algo=resolve_nms_algo(cfg, scores_pl[0].shape[0], train=train),
         exact_topk=cfg.rpn.get("exact_topk", False),
+        topk_recall=cfg.rpn.get("topk_recall", 0.99),
     )
 
 

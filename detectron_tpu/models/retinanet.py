@@ -182,7 +182,8 @@ def retinanet_inference(outputs, anchors_per_level, image_hw, cfg):
                 top_logits, top_idx = jax.lax.top_k(flat, t)
             else:
                 top_logits, top_idx = jax.lax.approx_max_k(
-                    flat, t, recall_target=0.99
+                    flat, t,
+                    recall_target=cfg.retinanet.get("topk_recall", 0.99),
                 )
             a_idx = top_idx // k
             c_idx = top_idx % k
